@@ -1,0 +1,74 @@
+"""Testdata catalog: load parquet tables, register temp views.
+
+Spark-side replacement for the reference's PostgreSQL catalog
+(`information_schema` introspection at ``src/db/pipeline.py:68-97`` and
+DDL application at ``src/db/pipeline.py:100-123``): tables are
+columnar parquet scanned directly; schema comes from parquet footers;
+views make the SQL surface (`spark.sql`) work against the same names
+DuckDB pre-registers for the oracle.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .session import apply_runtime_confs
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one parquet table (lazy — no job until an action).
+
+    `events.ts` is parquet TIMESTAMP(NANOS): Spark reads it as a raw
+    int64 (nanosAsLong conf), we truncate to microseconds with exact
+    integer division — the same nanos→µs truncation DuckDB applies —
+    and convert to TIMESTAMP_NTZ. NTZ is the right type here: it is
+    wall-clock (naive) like DuckDB's, and PySpark collects it without
+    consulting the driver process's OS timezone, so results are
+    identical no matter what TZ the harness runs under. (The cast
+    instant→wall-clock uses the session tz, which apply_runtime_confs
+    pins to UTC first.)
+    """
+    apply_runtime_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.expr("cast(timestamp_micros(ts div 1000) as timestamp_ntz)")
+        )
+    return df
+
+
+def load_tables(
+    spark: SparkSession, sf_dir: str, names: tuple[str, ...] = TABLES
+) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names if os.path.exists(table_path(sf_dir, n))}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every testdata table as a temp view for spark.sql()."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

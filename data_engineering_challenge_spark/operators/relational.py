@@ -1,0 +1,282 @@
+"""The reference's analytic query set, transposed to the testdata star
+schema (mapping in FIXTURES.md §B).
+
+Reference queries (all delegated to PostgreSQL there, executed by
+Catalyst here):
+- revenue per day            -> reference src/sql/queries/revenue_split_per_day.sql:1-6
+- top-10 products by units   -> src/sql/queries/top_10_products_units_sold.sql:1-7
+- tx count + distinct/store  -> src/sql/queries/number_transactions_per_store.sql:1-7
+- dataset timeframe          -> src/sql/queries/transactions_timeframe.sql:1-4
+- margin, 2 calendar months  -> src/sql/queries/total_margin_signature_last_2_months.sql:1-21
+- margin, rolling 60 days    -> src/sql/queries/total_margin_signature_last_2_months_in_days.sql:1-11
+- duplicate-group audit      -> notebooks/profiling.ipynb cells 26-29
+
+Scale notes (100 TB posture):
+- `part` is the dim side -> explicit ``F.broadcast`` so the fact scan
+  never shuffles for the join (reference used a B-tree FK index,
+  src/db/sql/schema.sql:43; broadcast-hash is the Spark analogue).
+- Scalar window bounds (max date) are computed as a 1-row DataFrame and
+  cross-joined broadcast — no ``.collect()`` round-trip, the whole plan
+  stays on executors.
+- Aggregations are partial+final hash aggs (map-side combine) for free.
+- Money/quantity doubles are cast to DECIMAL *before* SUM: decimal
+  addition is exact and order-independent, so results are identical
+  regardless of partitioning — and identical to the DuckDB oracle.
+- Top-k is ORDER BY + LIMIT, which Catalyst plans as
+  TakeOrderedAndProject (per-partition top-k then merge on driver) —
+  no global sort at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+DEC = "decimal(18,2)"  # exact money math; Postgres NUMERIC analogue (SURVEY §1.3)
+
+
+@register(
+    "revenue_per_day",
+    oracle="""
+        SELECT CAST(o_orderdate AS DATE) AS order_date,
+               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue
+        FROM orders
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="GROUP BY day + SUM (reference revenue_split_per_day.sql).",
+    tags=("reference", "agg"),
+)
+def revenue_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("total_revenue"))
+        .orderBy("order_date")
+    )
+
+
+@register(
+    "top10_units",
+    oracle="""
+        SELECT l_partkey,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_units_sold
+        FROM lineitem
+        GROUP BY l_partkey
+        ORDER BY total_units_sold DESC, l_partkey
+        LIMIT 10
+    """,
+    doc="Top-10 by units sold (reference top_10_products_units_sold.sql); "
+    "stable tie-break on key so LIMIT is deterministic.",
+    tags=("reference", "topk"),
+)
+def top10_units(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_partkey")
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("total_units_sold"))
+        .orderBy(F.desc("total_units_sold"), F.asc("l_partkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tx_per_store",
+    oracle="""
+        SELECT l_suppkey,
+               COUNT(l_orderkey) AS n_tx,
+               COUNT(DISTINCT l_orderkey) AS n_unique_tx
+        FROM lineitem
+        GROUP BY l_suppkey
+        ORDER BY l_suppkey
+    """,
+    doc="COUNT + COUNT(DISTINCT) per group (reference number_transactions_per_store.sql).",
+    tags=("reference", "agg"),
+)
+def tx_per_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_suppkey")
+        .agg(
+            F.count("l_orderkey").alias("n_tx"),
+            F.countDistinct("l_orderkey").alias("n_unique_tx"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+@register(
+    "timeframe",
+    oracle="""
+        SELECT CAST(MIN(o_orderdate) AS DATE) AS first_order_date,
+               CAST(MAX(o_orderdate) AS DATE) AS last_order_date
+        FROM orders
+    """,
+    doc="Ungrouped MIN/MAX (reference transactions_timeframe.sql).",
+    tags=("reference", "agg"),
+)
+def timeframe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.min(F.col("o_orderdate").cast("date")).alias("first_order_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("last_order_date"),
+    )
+
+
+def _promo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact ⋈ broadcast(dim) with the 'signature product' predicate.
+
+    `p_type = 'PROMO'` plays the role of `signature_product IS TRUE`
+    (reference schema src/db/sql/schema.sql:6). Filter applied before
+    the join so Catalyst prunes the dim build side too.
+    """
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "inner")
+
+
+@register(
+    "margin_signature_2months",
+    oracle="""
+        WITH anchor AS (
+            SELECT date_trunc('month', CAST(MAX(l_shipdate) AS DATE)) AS m
+            FROM lineitem
+        ),
+        month_window AS (
+            SELECT CAST(m - INTERVAL 1 MONTH AS DATE) AS start_d,
+                   CAST(m + INTERVAL 1 MONTH AS DATE) AS end_d
+            FROM anchor
+        )
+        SELECT COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS total_margin
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN month_window ON TRUE
+        WHERE p_type = 'PROMO'
+          AND CAST(l_shipdate AS DATE) >= start_d
+          AND CAST(l_shipdate AS DATE) < end_d
+    """,
+    doc="Filtered SUM over a 2-calendar-month half-open window anchored at "
+    "trunc(max(date),'month') (reference total_margin_signature_last_2_months.sql). "
+    "Margin NOT multiplied by quantity (reference README.md:198).",
+    tags=("reference", "join", "window-filter"),
+)
+def margin_signature_2months(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    # 1-row bounds frame, broadcast cross join — no driver collect.
+    bounds = (
+        l.agg(F.trunc(F.max(F.col("l_shipdate").cast("date")), "month").alias("m"))
+        .select(F.add_months("m", -1).alias("start_d"), F.add_months("m", 1).alias("end_d"))
+    )
+    d = F.col("l_shipdate").cast("date")
+    return (
+        _promo_join(spark, sf_dir)
+        .crossJoin(F.broadcast(bounds))
+        .filter((d >= F.col("start_d")) & (d < F.col("end_d")))
+        .agg(
+            F.coalesce(F.sum(F.col("l_extendedprice").cast(DEC)), F.lit(0).cast(DEC)).alias(
+                "total_margin"
+            )
+        )
+    )
+
+
+@register(
+    "margin_signature_60days",
+    oracle="""
+        SELECT COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS total_margin
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        WHERE p_type = 'PROMO'
+          AND CAST(l_shipdate AS DATE)
+              BETWEEN (SELECT CAST(MAX(l_shipdate) AS DATE) - 60 FROM lineitem)
+                  AND (SELECT CAST(MAX(l_shipdate) AS DATE) FROM lineitem)
+    """,
+    doc="Rolling closed 60-day window variant (reference "
+    "total_margin_signature_last_2_months_in_days.sql, scalar subquery bounds).",
+    tags=("reference", "join", "window-filter"),
+)
+def margin_signature_60days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    bounds = l.agg(F.max(F.col("l_shipdate").cast("date")).alias("end_d")).select(
+        F.date_sub("end_d", 60).alias("start_d"), "end_d"
+    )
+    d = F.col("l_shipdate").cast("date")
+    return (
+        _promo_join(spark, sf_dir)
+        .crossJoin(F.broadcast(bounds))
+        .filter(d.between(F.col("start_d"), F.col("end_d")))
+        .agg(
+            F.coalesce(F.sum(F.col("l_extendedprice").cast(DEC)), F.lit(0).cast(DEC)).alias(
+                "total_margin"
+            )
+        )
+    )
+
+
+@register(
+    "dup_groups",
+    oracle="""
+        SELECT l_partkey, l_suppkey, l_quantity, COUNT(*) AS n_dup
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey, l_quantity
+        HAVING COUNT(*) > 1
+        ORDER BY n_dup DESC, l_partkey, l_suppkey, l_quantity
+    """,
+    doc="Duplicate-group audit: group by a column subset, keep groups with "
+    "count>1 (reference notebook cells 26-29; README.md:192 — 76 dup groups).",
+    tags=("reference", "dedup"),
+)
+def dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    keys = ["l_partkey", "l_suppkey", "l_quantity"]
+    return (
+        l.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+        .filter(F.col("n_dup") > 1)
+        .orderBy(F.desc("n_dup"), *keys)
+    )
+
+
+@register(
+    "pricing_summary",
+    oracle="""
+        SELECT l_returnflag,
+               l_linestatus,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS sum_disc_price,
+               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(3,2)))
+                   * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS sum_charge,
+               COUNT(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary — the flagship multi-agg scan. "
+    "Inputs are exact 2-decimal values, so price/discount/tax are cast "
+    "to DECIMAL *before* multiplying: every op is exact decimal math, "
+    "identical across engines and partitionings (a double product cast "
+    "to decimal would tie-break differently in Spark vs DuckDB).",
+    tags=("flagship", "agg"),
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    ep = F.col("l_extendedprice").cast(DEC)
+    disc_price = ep * (F.lit(1) - F.col("l_discount").cast("decimal(3,2)"))
+    charge = disc_price * (F.lit(1) + F.col("l_tax").cast("decimal(3,2)"))
+    return (
+        l.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(ep).alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(charge).alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )

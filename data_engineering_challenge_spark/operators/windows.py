@@ -1,0 +1,217 @@
+"""Window-function operators (ranking, running totals, sessionization,
+time-bucketed aggregation).
+
+The reference has **no** window functions (SURVEY.md §2.8) — these are
+the north-star extensions (SURVEY.md §7.4), built on
+``Window.partitionBy().orderBy()`` and ``F.window``.
+
+Scale notes:
+- Each window spec shuffles once on its partition key; we always
+  pre-aggregate before ranking so the window input is |groups|, not
+  |rows| (top-3-per-supplier ranks ~|suppliers × parts| rows, never the
+  raw fact table).
+- Sessionization is a single shuffle on user_id + an in-partition sort
+  — the canonical scalable formulation (lag → gap flag → cumulative
+  sum), no per-user driver loop.
+- Tumbling windows use ``F.window`` on the event time column, the same
+  construct Structured Streaming uses (streaming/ reuses this logic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+DEC = "decimal(18,2)"
+
+
+@register(
+    "top3_parts_per_supplier",
+    oracle="""
+        WITH agg AS (
+            SELECT l_suppkey, l_partkey,
+                   SUM(CAST(l_quantity AS DECIMAL(18,2))) AS units
+            FROM lineitem
+            GROUP BY l_suppkey, l_partkey
+        ),
+        ranked AS (
+            SELECT l_suppkey, l_partkey, units,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY l_suppkey
+                       ORDER BY units DESC, l_partkey
+                   ) AS rn
+            FROM agg
+        )
+        SELECT l_suppkey, l_partkey, units, rn
+        FROM ranked
+        WHERE rn <= 3
+        ORDER BY l_suppkey, rn
+    """,
+    doc="Top-K per group via row_number over a pre-aggregated frame — "
+    "the scalable top-k-per-key pattern (agg first, rank |groups| rows).",
+    tags=("window", "topk"),
+)
+def top3_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(F.col("l_quantity").cast(DEC)).alias("units")
+    )
+    w = W.partitionBy("l_suppkey").orderBy(F.desc("units"), F.asc("l_partkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("l_suppkey", "rn")
+    )
+
+
+@register(
+    "revenue_running_total",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS order_date,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_revenue
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT order_date, day_revenue,
+               SUM(day_revenue) OVER (
+                   ORDER BY order_date
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS running_revenue
+        FROM daily
+        ORDER BY order_date
+    """,
+    doc="Cumulative sum over pre-aggregated daily revenue. The global "
+    "window runs over |days| rows only (bounded), never the fact table.",
+    tags=("window", "analytic"),
+)
+def revenue_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("order_date")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("day_revenue")
+    )
+    w = W.orderBy("order_date").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return daily.withColumn("running_revenue", F.sum("day_revenue").over(w)).orderBy(
+        "order_date"
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts, event_id,
+                   SUM(is_new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS session_id
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end
+        FROM numbered
+        GROUP BY user_id, session_id
+        ORDER BY user_id, session_id
+    """,
+    doc="Batch sessionization: 30-min inactivity gap → lag + cumulative "
+    "sum session ids. One shuffle on user_id; no driver-side loops.",
+    tags=("window", "sessionize"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # timestampdiff works on TIMESTAMP_NTZ; microsecond granularity so
+    # sub-second gaps compare exactly like the oracle's interval compare
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    flagged = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "is_new_session",
+        F.when(gap_us.isNull() | (gap_us > 30 * 60 * 1_000_000), F.lit(1)).otherwise(F.lit(0)),
+    )
+    numbered = flagged.withColumn(
+        "session_id",
+        F.sum("is_new_session").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    return (
+        numbered.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+@register(
+    "events_hourly",
+    oracle="""
+        SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
+               event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+        FROM events
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="Tumbling 1-hour window aggregation over the events table — the "
+    "batch twin of the Structured Streaming pipeline in streaming/.",
+    tags=("window", "time"),
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "sales_rollup",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+    """,
+    doc="Hierarchical ROLLUP totals (flag → flag+status → grand total).",
+    tags=("agg", "rollup"),
+)
+def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )

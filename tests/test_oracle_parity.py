@@ -1,0 +1,30 @@
+"""Every registered query with an oracle must hash-match DuckDB at
+sf0.001 — the local mirror of the driver's t2 correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_challenge_spark import registry, testing
+
+
+def _specs():
+    return sorted(registry.all_queries().values(), key=lambda s: s.name)
+
+
+@pytest.fixture(scope="module")
+def con(sf_dir):
+    return testing.duckdb_con(sf_dir)
+
+
+@pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
+def test_query_matches_oracle(spec, spark, sf_dir, con):
+    sdf = spec.fn(spark, sf_dir)
+    s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+    if spec.oracle is None:
+        # rows-only contract: must run and have a stable, non-degenerate schema
+        assert len(s_cols) > 0
+        return
+    d_cols, d_rows = testing.run_oracle(con, spec.oracle)
+    ok, detail = testing.compare(s_cols, s_rows, d_cols, d_rows)
+    assert ok, f"{spec.name}: {detail}"

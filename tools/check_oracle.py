@@ -1,0 +1,44 @@
+"""Local mirror of the driver's DuckDB-oracle correctness gate.
+
+    PYTHONPATH=/root/repo python tools/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from data_engineering_challenge_spark import registry, testing
+from data_engineering_challenge_spark.session import get_session
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_session("check_oracle")
+    con = testing.duckdb_con(sf_dir)
+    failures = []
+    for name, spec in registry.all_queries().items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        sdf = spec.fn(spark, sf_dir)
+        s_cols, s_rows = sdf.columns, [tuple(r) for r in sdf.collect()]
+        if spec.oracle is None:
+            print(f"  {name:32s} rows={len(s_rows):<8d} (rows-only, {time.time() - t0:.1f}s)")
+            continue
+        d_cols, d_rows = testing.run_oracle(con, spec.oracle)
+        ok, detail = testing.compare(s_cols, s_rows, d_cols, d_rows)
+        print(f"  {name:32s} {'OK ' if ok else 'FAIL'} rows={len(s_rows)} ({time.time() - t0:.1f}s)")
+        if not ok:
+            failures.append(name)
+            print("    " + detail.replace("\n", "\n    "))
+    print(f"\n{len(failures)} failures: {failures}" if failures else "\nall OK")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
