@@ -1,1 +1,302 @@
-"""Placeholder — queries land in the next milestone."""
+"""Deduplication operators over `documents`: exact, n-gram Jaccard,
+MinHash+LSH, SimHash.
+
+North-star extensions (SURVEY.md §7.4) generalizing the reference's
+duplicate-group audit (notebook cells 26-29, the 76-dup-group finding
+at README.md:192) to the approximate dedup an LLM-data pipeline needs.
+
+All four are *oracle-checkable*: every hash derives from md5 (identical
+bytes-in/hex-out in Spark and DuckDB), minima over uniform hex hashes
+are valid min-hashes, and ratios stay raw double divisions of exact
+integers — so the approximate algorithms produce bit-identical results
+in both engines.
+
+Scale design (100 TB posture):
+- Exact dedup: hash-groupBy on a 32-hex fingerprint — one shuffle of
+  (fp, doc_id), never the document bodies.
+- N-gram Jaccard is the *verifier*, quadratic in the worst case; the
+  scale path is MinHash+LSH: O(docs × shingles) signature pass, then a
+  shuffle keyed on (band, band_hash) so only same-bucket docs pair up.
+  Hot buckets (boilerplate shingles) are the skew risk — AQE skew-join
+  handles moderate cases; a band-hash frequency cap is the escape hatch.
+- SimHash: 60-bit fingerprint (fits a signed long in both engines),
+  candidate pairs via 4×15-bit chunk banding (pigeonhole-complete for
+  hamming ≤ 3), exact popcount verify.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import normalize_text, tokens, word_ngrams
+from ..registry import register
+
+_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+
+NUM_MINHASH = 16
+MINHASH_BANDS = 4  # 4 bands x 4 rows
+SIMHASH_BITS = 60  # 4 chunks x 15 bits; < 2^63 so it fits BIGINT exactly
+SIMHASH_CHUNKS = 4
+SIMHASH_MAX_HAMMING = 3
+
+
+def _distinct_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    grams = word_ngrams(tokens(F.col("text")), 3)
+    return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+
+
+_GRAMS_SQL = f"""
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, len(w) - 1),
+                   i -> array_to_string(w[i:i+2], ' ')))) AS gram
+        FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents)
+"""
+
+
+@register(
+    "exact_dedup",
+    oracle=f"""
+        SELECT md5({_NORM_SQL}) AS content_fp,
+               MIN(doc_id) AS keep_id,
+               COUNT(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+        ORDER BY keep_id
+    """,
+    doc="Exact dedup by content fingerprint: md5(normalized text) → "
+    "group → keep lowest doc_id. Shuffles 40-byte keys, not documents.",
+    tags=("dedup", "extension"),
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    fp = F.md5(normalize_text(F.col("text")).cast("binary"))
+    return (
+        d.select(fp.alias("content_fp"), "doc_id")
+        .groupBy("content_fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+@register(
+    "ngram_jaccard_pairs",
+    oracle=f"""
+        WITH g AS ({_GRAMS_SQL}),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               n_common / (sa.n + sb.n - n_common) AS jaccard
+        FROM inter
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
+        ORDER BY doc_a, doc_b
+    """,
+    doc="Exact word-3-gram Jaccard near-dup pairs (threshold 0.8). The "
+    "quadratic exact verifier; minhash_lsh_pairs is the scale path.",
+    tags=("dedup", "extension"),
+)
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = _distinct_grams(spark, sf_dir)
+    sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = g.alias("a"), g.alias("b")
+    inter = (
+        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa, sb = sz.alias("sa"), sz.alias("sb")
+    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s: array<string>[16]) — per-perm minima of md5('j:'+gram).
+
+    One aggregation with 16 min() columns: a single shuffle of
+    (doc_id, 16×32 hex chars); the md5s are computed map-side.
+    """
+    g = _distinct_grams(spark, sf_dir)
+    mins = [
+        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("gram")).cast("binary"))).alias(f"h{j}")
+        for j in range(NUM_MINHASH)
+    ]
+    sig = g.groupBy("doc_id").agg(*mins)
+    return sig.select("doc_id", F.array(*[f"h{j}" for j in range(NUM_MINHASH)]).alias("s"))
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+        WITH g AS ({_GRAMS_SQL}),
+        h AS (
+            SELECT doc_id, j, MIN(md5(j || ':' || gram)) AS mh
+            FROM g, range(0, {NUM_MINHASH}) t(j)
+            GROUP BY doc_id, j
+        ),
+        sig AS (SELECT doc_id, list(mh ORDER BY j) AS s FROM h GROUP BY doc_id),
+        bands AS (
+            SELECT doc_id, b,
+                   md5(array_to_string(s[b*4+1:b*4+4], '|')) AS bh
+            FROM sig, range(0, {MINHASH_BANDS}) t(b)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, est_jaccard FROM (
+            SELECT doc_a, doc_b,
+                   len(list_filter(range(1, {NUM_MINHASH + 1}),
+                                   i -> sa.s[i] = sb.s[i])) / {NUM_MINHASH}.0
+                       AS est_jaccard
+            FROM cand
+            JOIN sig sa ON sa.doc_id = doc_a
+            JOIN sig sb ON sb.doc_id = doc_b
+        )
+        WHERE est_jaccard >= 0.5
+        ORDER BY doc_a, doc_b
+    """,
+    doc="MinHash (16 perms, md5-derived) + LSH banding (4 bands × 4 "
+    "rows) near-dup candidates, filtered at estimated Jaccard ≥ 0.5. "
+    "The linear-time scale path for dedup: shuffle keys are "
+    "(band, band_hash), so only same-bucket docs ever pair.",
+    tags=("dedup", "lsh", "extension"),
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signatures(spark, sf_dir)
+    rows_per_band = NUM_MINHASH // MINHASH_BANDS
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col("s").getItem(b * rows_per_band + i) for i in range(rows_per_band)]
+                ).cast("binary")
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_hashes).alias("b", "bh"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    eq = F.zip_with("s_a", "s_b", lambda x, y: (x == y).cast("int"))
+    est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(NUM_MINHASH)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp: 60-bit simhash as long).
+
+    Token hash = first 15 hex of md5 (60 bits, exact in a signed long
+    in both engines). Per-bit ±1 sums via a posexplode over 60 literal
+    masks — no variable shifts, pure column math.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast("long")
+    masks = F.array(*[F.lit(1 << p) for p in range(SIMHASH_BITS)])
+    tp = t.select("doc_id", h.alias("h"), F.posexplode(masks).alias("p", "mask"))
+    contrib = F.when(F.col("h").bitwiseAND(F.col("mask")) != 0, 1).otherwise(-1)
+    s = tp.groupBy("doc_id", "p", "mask").agg(F.sum(contrib).alias("s"))
+    return s.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.col("mask")).otherwise(F.lit(0))).alias("fp")
+    )
+
+
+@register(
+    "simhash_pairs",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, unnest(string_split({_NORM_SQL}, ' ')) AS tok
+            FROM documents
+        ),
+        tp AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h,
+                   p, (1::BIGINT << p) AS mask
+            FROM t, range(0, {SIMHASH_BITS}) r(p)
+        ),
+        s AS (
+            SELECT doc_id, p, mask,
+                   SUM(CASE WHEN (h & mask) <> 0 THEN 1 ELSE -1 END) AS s
+            FROM tp GROUP BY doc_id, p, mask
+        ),
+        f AS (
+            SELECT doc_id,
+                   CAST(SUM(CASE WHEN s > 0 THEN mask ELSE 0 END) AS BIGINT) AS fp
+            FROM s GROUP BY doc_id
+        ),
+        bands AS (
+            SELECT doc_id, c, (fp >> (c * 15)) & 32767 AS chunk
+            FROM f, range(0, {SIMHASH_CHUNKS}) r(c)
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a
+            JOIN bands b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b, hamming FROM (
+            SELECT doc_a, doc_b, bit_count(xor(fa.fp, fb.fp)) AS hamming
+            FROM cand
+            JOIN f fa ON fa.doc_id = doc_a
+            JOIN f fb ON fb.doc_id = doc_b
+        )
+        WHERE hamming <= {SIMHASH_MAX_HAMMING}
+        ORDER BY doc_a, doc_b
+    """,
+    doc="SimHash near-dup pairs: 60-bit token-level simhash, candidates "
+    "via 4×15-bit chunk banding (complete for hamming ≤ 3 by "
+    "pigeonhole), exact popcount verify.",
+    tags=("dedup", "extension"),
+)
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f_ = _simhash_fingerprints(spark, sf_dir)
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("fp"), c * 15).bitwiseAND(F.lit(32767))
+            for c in range(SIMHASH_CHUNKS)
+        ]
+    )
+    bands = f_.select("doc_id", F.posexplode(chunks).alias("c", "chunk"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    fa = f_.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
+    fb = f_.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1,1 +1,206 @@
-"""Placeholder — queries land in the next milestone."""
+"""Text-analysis operators over the `documents` table: token counting,
+quality scoring, language ID, fingerprinting.
+
+North-star extensions (SURVEY.md §7.4) — the reference's text surface
+is limited to normalization + regex contracts
+(`src/utils/dataset_profiling.py:322-324`, `src/utils/routing.py:34-41`);
+these generalize it to the operators an LLM-data pipeline needs.
+
+Everything is built from JVM-side Column expressions — no Python UDFs
+in any hot path — so the operators scale exactly like any native scan:
+one pass over the documents, no shuffle (per-row outputs), predicate
+and column pruning intact.
+
+Oracle-parity rules used here:
+- ratios are raw double divisions of exact integers (bit-identical in
+  any engine; never cast a rounded double to decimal),
+- fingerprints use md5 (identical across Spark/DuckDB for UTF-8 text).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import count_in_set, normalize_text, tokens, word_ngrams
+from ..registry import register
+
+# language-marker stopwords (tiny deterministic heuristic; the point is
+# the operator shape — swap lists for real profiles in production)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "fr": ("le", "la", "les", "et", "une"),
+    "es": ("el", "los", "que", "y", "una"),
+    "de": ("der", "die", "das", "und", "ein"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
+
+_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+_TOK_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+@register(
+    "token_counts",
+    oracle=f"""
+        SELECT doc_id,
+               len({_TOK_SQL}) AS n_tokens,
+               len(list_distinct({_TOK_SQL})) AS n_unique_tokens,
+               length({_NORM_SQL}) AS n_chars_norm
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="Whitespace token counting per document (exact, JVM-side).",
+    tags=("text", "extension"),
+)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_unique_tokens"),
+        F.length(normalize_text(F.col("text"))).alias("n_chars_norm"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_quality",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id,
+                   length({_NORM_SQL}) AS n_chars,
+                   len({_TOK_SQL}) AS n_tokens,
+                   len(list_distinct({_TOK_SQL})) AS n_unique,
+                   len(list_filter({_TOK_SQL},
+                       x -> x IN ('the','a','of','and','to','in','is','it'))) AS n_stop
+            FROM documents
+        )
+        SELECT doc_id, n_chars, n_tokens,
+               n_stop / n_tokens AS stopword_ratio,
+               n_unique / n_tokens AS unique_ratio,
+               (n_chars - (n_tokens - 1)) / n_tokens AS mean_token_len,
+               (n_tokens BETWEEN 5 AND 500)
+                   AND n_unique / n_tokens > 0.2 AS quality_ok
+        FROM t
+        ORDER BY doc_id
+    """,
+    doc="Quality scoring: length / stopword ratio / lexical diversity — "
+    "the standard pre-training corpus filters, as pure column math.",
+    tags=("text", "extension"),
+)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    t = d.select(
+        "doc_id",
+        F.length(normalize_text(F.col("text"))).alias("n_chars"),
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_unique"),
+        count_in_set(tok, STOPWORDS).alias("n_stop"),
+    )
+    return t.select(
+        "doc_id",
+        "n_chars",
+        "n_tokens",
+        (F.col("n_stop") / F.col("n_tokens")).alias("stopword_ratio"),
+        (F.col("n_unique") / F.col("n_tokens")).alias("unique_ratio"),
+        ((F.col("n_chars") - (F.col("n_tokens") - 1)) / F.col("n_tokens")).alias(
+            "mean_token_len"
+        ),
+        (
+            F.col("n_tokens").between(5, 500)
+            & (F.col("n_unique") / F.col("n_tokens") > 0.2)
+        ).alias("quality_ok"),
+    ).orderBy("doc_id")
+
+
+def _lang_case_sql() -> str:
+    counts = {
+        lang: f"len(list_filter({_TOK_SQL}, x -> x IN "
+        f"({', '.join(repr(w) for w in ws)})))"
+        for lang, ws in LANG_MARKERS.items()
+    }
+    cols = ", ".join(f"{c} AS c_{lang}" for lang, c in counts.items())
+    langs = list(LANG_MARKERS)
+    whens = []
+    for i, lang in enumerate(langs):
+        others = [f"c_{lang} >= c_{o}" for o in langs[i + 1 :]]
+        cond = " AND ".join([f"c_{lang} > 0"] + others)
+        whens.append(f"WHEN {cond} THEN '{lang}'")
+    case = "CASE " + " ".join(whens) + " ELSE 'unknown' END"
+    return f"""
+        WITH c AS (SELECT doc_id, lang, {cols} FROM documents)
+        SELECT doc_id, {case} AS predicted_lang,
+               ({case}) = lang AS agrees_with_label
+        FROM c
+        ORDER BY doc_id
+    """
+
+
+@register(
+    "lang_id",
+    oracle=_lang_case_sql(),
+    doc="Heuristic language ID: per-language marker-token counts, argmax "
+    "with fixed priority tie-break (en > fr > es > de > unknown).",
+    tags=("text", "extension"),
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    c = d.select(
+        "doc_id",
+        "lang",
+        *[count_in_set(tok, ws).alias(f"c_{lang}") for lang, ws in LANG_MARKERS.items()],
+    )
+    langs = list(LANG_MARKERS)
+    pred = F.lit("unknown")
+    # build CASE from the bottom up so priority order matches the SQL
+    for i in range(len(langs) - 1, -1, -1):
+        lang = langs[i]
+        cond = F.col(f"c_{lang}") > 0
+        for o in langs[i + 1 :]:
+            cond = cond & (F.col(f"c_{lang}") >= F.col(f"c_{o}"))
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    return c.select(
+        "doc_id",
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("agrees_with_label"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+        WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents)
+        SELECT doc_id,
+               md5(norm) AS exact_fp,
+               CASE WHEN length(norm) >= 8 THEN
+                   list_min(list_transform(range(1, length(norm) - 6),
+                            i -> md5(norm[i:i+7])))
+               ELSE md5(norm) END AS min_shingle_fp
+        FROM n
+        ORDER BY doc_id
+    """,
+    doc="Document fingerprints: exact md5 of normalized text + a "
+    "min-hash over rolling 8-char shingles (winnowing-style sketch; "
+    "md5 is identical across engines, min over hex strings is a valid "
+    "uniform min-hash).",
+    tags=("text", "dedup", "extension"),
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"))
+    n = d.select("doc_id", norm.alias("norm"))
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.length("norm") - 7),
+        lambda i: F.md5(F.col("norm").substr(i, F.lit(8)).cast("binary")),
+    )
+    return n.select(
+        "doc_id",
+        F.md5(F.col("norm").cast("binary")).alias("exact_fp"),
+        F.when(F.length("norm") >= 8, F.array_min(shingle_hashes))
+        .otherwise(F.md5(F.col("norm").cast("binary")))
+        .alias("min_shingle_fp"),
+    ).orderBy("doc_id")
