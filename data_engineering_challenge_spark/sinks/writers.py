@@ -1,0 +1,58 @@
+"""Writers (reference SURVEY.md §2.1 S8-S9).
+
+The reference's sink is CSV → Postgres `COPY FROM STDIN`
+(src/db/pipeline.py:165-195) plus cleaned-CSV exports (notebook cell
+31). Spark-first replacements:
+
+- :func:`write_partitioned_parquet` — the warehouse sink. Partitioning
+  by a month column derived from the date column is the physical
+  design that replaces the reference's three B-tree indexes
+  (src/db/sql/schema.sql:41-43): date-window queries prune partitions
+  at planning time (SURVEY.md §4).
+- :func:`write_csv` — pipe-delimited CSV export parity.
+- :func:`verify_rowcount` — the reference's post-COPY
+  `SELECT COUNT(*)` reconciliation (src/db/pipeline.py:194-195).
+
+A JDBC writer would be `df.write.format("jdbc")` if Postgres parity
+were ever required; no DB is present in this environment.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned_parquet(
+    df: DataFrame,
+    path: str,
+    date_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet, partitioned by month of `date_col` when given.
+
+    At 100 TB: month partitions keep file counts manageable (~120
+    partitions for 10 years) while serving every date-window query in
+    the suite via partition pruning; finer grains (day) explode the
+    file count without improving pruning for month-scale windows.
+    """
+    w = df
+    writer = None
+    if date_col:
+        w = df.withColumn("part_month", F.date_format(F.col(date_col), "yyyy-MM"))
+        writer = w.write.partitionBy("part_month")
+    else:
+        writer = w.write
+    writer.mode(mode).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, sep: str = "|", mode: str = "overwrite") -> None:
+    """Pipe-delimited CSV with header (reference S9)."""
+    df.write.option("sep", sep).option("header", True).mode(mode).csv(path)
+
+
+def verify_rowcount(spark: SparkSession, df: DataFrame, path: str) -> tuple[int, int, bool]:
+    """(source_count, written_count, match) — load reconciliation."""
+    src = df.count()
+    written = spark.read.parquet(path).count()
+    return src, written, src == written
