@@ -190,6 +190,89 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_sliding_1h30m",
+    oracle="""
+        WITH starts AS (
+            SELECT event_type, value,
+                   unnest([time_bucket(INTERVAL 30 MINUTE, ts),
+                           time_bucket(INTERVAL 30 MINUTE, ts) - INTERVAL 30 MINUTE])
+                       AS window_start
+            FROM events
+        )
+        SELECT window_start, event_type,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+        FROM starts
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="Sliding windows (1 h size, 30 min slide): each event lands in "
+    "exactly two windows. Spark's F.window handles replication; the "
+    "oracle unnests the two epoch-aligned starts explicitly.",
+    tags=("window", "time"),
+)
+def events_sliding_1h30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_session_window",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts,
+                   CASE WHEN LAG(ts) OVER w IS NULL
+                             OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        numbered AS (
+            SELECT user_id, ts,
+                   SUM(is_new) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS sid
+            FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+               COUNT(*) AS n_events
+        FROM numbered
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start
+    """,
+    doc="Native session_window operator (30-min gap). Semantics: an "
+    "event at exactly start+gap begins a NEW session (half-open "
+    "windows) — hence the >= in the oracle, vs the strict > of the "
+    "lag-based sessionize_events.",
+    tags=("window", "sessionize"),
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+@register(
     "sales_rollup",
     oracle="""
         SELECT l_returnflag, l_linestatus,

@@ -1,0 +1,95 @@
+"""Structured Streaming pipelines (north-star extension — the
+reference is batch-only, SURVEY.md §2.8).
+
+Each pipeline is the streaming twin of a registered batch query, built
+on the same aggregation logic, so correctness is anchored by the
+batch oracle and the streaming tests only need to show the streaming
+plan produces the same rows when driven to completion.
+
+Scale posture: watermarks bound state (late data beyond 10 minutes is
+dropped); windowed aggregations shuffle on (window, key) exactly like
+their batch twins; `foreachBatch` is the exactly-once sink hook.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+
+WATERMARK = "10 minutes"
+
+
+def _stream_dir_for(path: str) -> str:
+    """FileStreamSource requires a *directory* source; the testdata ships
+    single parquet files. Symlink the file into a per-path temp dir (the
+    shape a real file-drop ingestion directory has anyway)."""
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "desc_stream_src_" + hashlib.md5(path.encode()).hexdigest()[:12],
+    )
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, os.path.basename(path))
+    if not os.path.exists(link):
+        os.symlink(path, link)
+    return d
+
+
+def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet (file-source smoke config;
+    production swaps in kafka options without touching the pipeline)."""
+    batch = load_table(spark, sf_dir, "events")  # reuse nanos→NTZ handling
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir_for(f"{sf_dir}/events.parquet"))
+    )
+    # watermarks require TIMESTAMP (not NTZ): keep the instant type
+    # inside the stream (session tz pinned UTC by apply_runtime_confs)
+    # and cast back to NTZ at the output edge.
+    if dict(raw.dtypes).get("ts") == "bigint":
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    _ = batch  # schema source only
+    return raw
+
+
+def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the `events_hourly` batch query: tumbling
+    1-hour windows with a 10-minute watermark."""
+    e = _read_events_stream(spark, sf_dir)
+    return (
+        e.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup on event_id within the watermark —
+    the streaming form of exact dedup (state bounded by the watermark)."""
+    e = _read_events_stream(spark, sf_dir)
+    deduped = e.withWatermark("ts", WATERMARK).dropDuplicates(["event_id"])
+    return deduped.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+
+
+def run_stream_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
+    """Drive a streaming frame to completion into an in-memory table
+    (tests/local smoke; production uses foreachBatch/kafka sinks)."""
+    q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    q.processAllAvailable()
+    q.stop()
