@@ -26,8 +26,12 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
+from functools import reduce
+from operator import add
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table
 from ..functions.text import normalize_text, tokens, word_ngrams
@@ -46,6 +50,15 @@ def _distinct_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     grams = word_ngrams(tokens(F.col("text")), 3)
     return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+
+
+def _reused(df: DataFrame) -> DataFrame:
+    """Materialize a sub-frame that downstream plans consume 2-4 times
+    (LSH signatures, exploded shingles): without this Spark re-derives
+    the full tokenize/hash/aggregate lineage per consumer. At cluster
+    scale the same role is played by writing signatures to a parquet
+    stage; MEMORY_AND_DISK is the local analog (spills, never OOMs)."""
+    return df.persist(StorageLevel.MEMORY_AND_DISK)
 
 
 _GRAMS_SQL = f"""
@@ -105,8 +118,14 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "extension"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = _distinct_grams(spark, sf_dir)
-    sz = g.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    g = _reused(_distinct_grams(spark, sf_dir))
+    # |grams(doc)| as a narrow projection — no explode, no shuffle
+    # (the oracle's COUNT-after-unnest equals the distinct-array size).
+    d = load_table(spark, sf_dir, "documents")
+    sz = d.select(
+        "doc_id",
+        F.size(F.array_distinct(word_ngrams(tokens(F.col("text")), 3))).alias("n"),
+    )
     a, b = g.alias("a"), g.alias("b")
     inter = (
         a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -136,7 +155,9 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         for j in range(NUM_MINHASH)
     ]
     sig = g.groupBy("doc_id").agg(*mins)
-    return sig.select("doc_id", F.array(*[f"h{j}" for j in range(NUM_MINHASH)]).alias("s"))
+    return _reused(
+        sig.select("doc_id", F.array(*[f"h{j}" for j in range(NUM_MINHASH)]).alias("s"))
+    )
 
 
 @register(
@@ -214,19 +235,28 @@ def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fp: 60-bit simhash as long).
 
     Token hash = first 15 hex of md5 (60 bits, exact in a signed long
-    in both engines). Per-bit ±1 sums via a posexplode over 60 literal
-    masks — no variable shifts, pure column math.
+    in both engines). One hash-aggregate with 60 conditional-sum
+    columns — the per-bit ±1 tallies stay map-side-combined in a
+    single (doc_id → 60 longs) shuffle, vs. a 60× row explosion.
     """
     d = load_table(spark, sf_dir, "documents")
     t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast("long")
-    masks = F.array(*[F.lit(1 << p) for p in range(SIMHASH_BITS)])
-    tp = t.select("doc_id", h.alias("h"), F.posexplode(masks).alias("p", "mask"))
-    contrib = F.when(F.col("h").bitwiseAND(F.col("mask")) != 0, 1).otherwise(-1)
-    s = tp.groupBy("doc_id", "p", "mask").agg(F.sum(contrib).alias("s"))
-    return s.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("s") > 0, F.col("mask")).otherwise(F.lit(0))).alias("fp")
+    bit_sums = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << p)) != 0, 1).otherwise(-1)
+        ).alias(f"b{p}")
+        for p in range(SIMHASH_BITS)
+    ]
+    s = t.select("doc_id", h.alias("h")).groupBy("doc_id").agg(*bit_sums)
+    fp = reduce(
+        add,
+        [
+            F.when(F.col(f"b{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+            for p in range(SIMHASH_BITS)
+        ],
     )
+    return _reused(s.select("doc_id", fp.alias("fp")))
 
 
 @register(
