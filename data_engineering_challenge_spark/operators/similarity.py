@@ -34,6 +34,10 @@ TOP_K = 5
 LSH_BANDS = 4  # 4 independent 8-bit sign-LSH bucketings; candidates = union
 PLANES_PER_BAND = 8
 DIM = 64
+COSINE_DUP_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal;
+# a production near-dup run sets ~0.95+, where sign-LSH recall is high
+N_CENTROIDS = 8  # IVF coarse cells; deterministic seeds stand in for KMeans
+N_PROBE = 2
 
 _DOT_SQL = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
 
@@ -173,6 +177,166 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (qb.bucket == buckets.bucket)
             & (F.col("query_id") != F.col("vec_id")),
         )
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .distinct()
+    )
+    qe = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
+    scored = (
+        cand.join(F.broadcast(qe), "query_id")
+        .join(e.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm"), "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("cosine_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cosine_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "embedding_cosine_pairs",
+    oracle=f"""
+        WITH e AS ({_CORPUS_SQL}),
+        buckets AS (
+            {" UNION ALL ".join(f"SELECT vec_id, {b} AS band, {_band_bucket_sql('v', b)} AS bucket FROM e" for b in range(LSH_BANDS))}
+        ),
+        cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM buckets a
+            JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+                          AND a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b, cosine_sim FROM (
+            SELECT vec_a, vec_b,
+                   {_DOT_SQL.format(a='ea.v', b='eb.v')} / (ea.nrm * eb.nrm)
+                       AS cosine_sim
+            FROM cand
+            JOIN e ea ON ea.vec_id = vec_a
+            JOIN e eb ON eb.vec_id = vec_b
+        )
+        WHERE cosine_sim >= {COSINE_DUP_THRESHOLD}
+        ORDER BY vec_a, vec_b
+    """,
+    doc="Embedding-cosine near-duplicate pairs: sign-LSH bucket self-join "
+    "generates candidates (union over 4 bands), exact cosine verifies. "
+    "Completes the dedup family (exact / n-gram / MinHash / SimHash / "
+    "embedding-cosine). Approximate by design — recall follows the LSH "
+    "collision curve, mirrored exactly in the oracle; the demo threshold "
+    "is low because synthetic vectors are near-orthogonal. Scale: the "
+    "only corpus-sized shuffle is keyed on (band, bucket) — no O(n²) "
+    "pair materialization outside shared buckets.",
+    tags=("dedup", "similarity", "lsh", "extension"),
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_with_norm(spark, sf_dir)
+    band_arr = F.array(*[_band_bucket_col(F.col("v"), b) for b in range(LSH_BANDS)])
+    buckets = e.select("vec_id", F.posexplode(band_arr).alias("band", "bucket"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= COSINE_DUP_THRESHOLD)
+        .orderBy("vec_a", "vec_b")
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+        WITH e AS ({_CORPUS_SQL}),
+        cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
+                  WHERE vec_id < {N_CENTROIDS}),
+        scored_cells AS (
+            SELECT e.vec_id, cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_DOT_SQL.format(a='e.v', b='cv')} / (e.nrm * cn)
+                                DESC, cent_id
+                   ) AS crnk
+            FROM e CROSS JOIN cents
+        ),
+        assign AS (SELECT vec_id, cent_id AS cell FROM scored_cells WHERE crnk = 1),
+        probes AS (
+            SELECT vec_id AS query_id, cent_id AS cell FROM scored_cells
+            WHERE vec_id % {QUERY_MOD} = 0 AND crnk <= {N_PROBE}
+        ),
+        cand AS (
+            SELECT DISTINCT query_id, a.vec_id AS neighbor_id
+            FROM probes p JOIN assign a ON a.cell = p.cell
+            WHERE a.vec_id <> query_id
+        ),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   {_DOT_SQL.format(a='q.v', b='e.v')} / (q.nrm * e.nrm) AS cosine_sim
+            FROM cand
+            JOIN e q ON q.vec_id = query_id
+            JOIN e ON e.vec_id = neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine_sim, rnk FROM (
+            SELECT query_id, neighbor_id, cosine_sim,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY cosine_sim DESC, neighbor_id
+                   ) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= {TOP_K}
+        ORDER BY query_id, rnk
+    """,
+    doc="IVF-style ANN: corpus assigned to the nearest of 8 coarse cells "
+    "(deterministic seed vectors vec_id < 8 stand in for trained KMeans "
+    "centroids so the oracle can replay the assignment); queries probe "
+    "their 2 best cells; exact cosine rerank within probed cells. Scale: "
+    "centroids broadcast, assignment is one narrow scan, and "
+    "cell-partitioned storage turns each query into a partition-pruned "
+    "read of nprobe/ncells of the corpus.",
+    tags=("similarity", "ivf", "extension"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_with_norm(spark, sf_dir)
+    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    cw = W.partitionBy("vec_id").orderBy(
+        F.desc((dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))),
+        F.asc("cent_id"),
+    )
+    scored_cells = (
+        e.crossJoin(F.broadcast(cents))
+        .withColumn("crnk", F.row_number().over(cw))
+        .select("vec_id", "cent_id", "crnk")
+    )
+    assign = scored_cells.filter(F.col("crnk") == 1).select(
+        "vec_id", F.col("cent_id").alias("cell")
+    )
+    probes = scored_cells.filter(
+        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("crnk") <= N_PROBE)
+    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    cand = (
+        assign.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )

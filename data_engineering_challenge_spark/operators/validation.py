@@ -11,6 +11,10 @@ API parity with the reference's validation layer:
   pulls value_counts to the driver and loops compiled regexes in
   Python; here the whole profile is one groupBy + rlike aggregation,
   no driver loop (SURVEY.md §2.8) — the design that survives 100 TB.
+- :func:`discover_placeholder_values` ↔ (:287-380) — the reference's
+  placeholder heuristics (null-ish token set, all-zero strings,
+  punctuation-only) applied engine-side to the invalid-value sets
+  instead of driver-side Python over collected JSON.
 """
 
 from __future__ import annotations
@@ -110,6 +114,45 @@ def value_format_profile(df: DataFrame, cols: tuple[str, ...]) -> DataFrame:
     ).orderBy("column_name")
 
 
+PLACEHOLDER_TOKENS = (
+    "na", "n/a", "none", "null", "nan", "missing", "unknown", "-", "#no value",
+)
+_RE_ALL_ZEROS = "^0{2,}$"
+_RE_PUNCT_ONLY = "^[^a-z0-9]+$"  # applied to lowercased values
+_RE_NULLISH_SUBSTR = "(not specified|unknown|missing)"
+
+
+def placeholder_reason(col: Column) -> Column:
+    """Classify a value by the reference's placeholder heuristics
+    (data_validation.py:287-380), in priority order; 'none' if clean."""
+    v = F.lower(F.trim(col.cast("string")))
+    return (
+        F.when(v.isin(*PLACEHOLDER_TOKENS), F.lit("null_token"))
+        .when(v.rlike(_RE_ALL_ZEROS), F.lit("all_zeros"))
+        .when(v.rlike(_RE_PUNCT_ONLY), F.lit("punctuation_only"))
+        .when(v.rlike(_RE_NULLISH_SUBSTR), F.lit("null_token_like"))
+        .otherwise(F.lit("none"))
+    )
+
+
+def discover_placeholder_values(
+    df: DataFrame, patterns: dict[str, str], limit: int = 10, **policy
+) -> DataFrame:
+    """(column_name, invalid_value, reason, is_placeholder) — the
+    contract-violating values of each column classified by the
+    placeholder heuristics. Engine-side end to end: the heuristic
+    CASE runs where the data lives, only the (small) distinct
+    offender sets move."""
+    vals = invalid_values_by_column(df, patterns, limit=limit, **policy)
+    reason = placeholder_reason(F.col("invalid_value"))
+    return vals.select(
+        "column_name",
+        "invalid_value",
+        reason.alias("reason"),
+        (reason != "none").alias("is_placeholder"),
+    )
+
+
 # --- registered driver queries ----------------------------------------
 
 
@@ -177,6 +220,54 @@ def invalid_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 def invalid_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return invalid_values_by_column(o, ORDERS_PATTERNS, limit=10)
+
+
+_DUCK_REASON = """
+        CASE
+            WHEN lower(trim(invalid_value)) IN
+                 ('na','n/a','none','null','nan','missing','unknown','-','#no value')
+                THEN 'null_token'
+            WHEN regexp_matches(lower(trim(invalid_value)), '^0{{2,}}$')
+                THEN 'all_zeros'
+            WHEN regexp_matches(lower(trim(invalid_value)), '^[^a-z0-9]+$')
+                THEN 'punctuation_only'
+            WHEN regexp_matches(lower(trim(invalid_value)), '(not specified|unknown|missing)')
+                THEN 'null_token_like'
+            ELSE 'none'
+        END
+"""
+
+
+@register(
+    "placeholder_discovery",
+    oracle=f"""
+        WITH vals AS (
+            (SELECT 'o_orderstatus' AS column_name, v AS invalid_value FROM (
+                SELECT DISTINCT o_orderstatus AS v FROM orders
+                WHERE o_orderstatus IS NOT NULL
+                  AND (o_orderstatus = '' OR NOT regexp_matches(o_orderstatus, '^[OF]$'))
+                ORDER BY v LIMIT 10))
+            UNION ALL
+            (SELECT 'o_orderpriority', v FROM (
+                SELECT DISTINCT o_orderpriority AS v FROM orders
+                WHERE o_orderpriority IS NOT NULL
+                  AND (o_orderpriority = '' OR NOT regexp_matches(o_orderpriority, '^[0-9]-[A-Z]+$'))
+                ORDER BY v LIMIT 10))
+        )
+        SELECT column_name, invalid_value,
+               {_DUCK_REASON.format()} AS reason,
+               {_DUCK_REASON.format()} <> 'none' AS is_placeholder
+        FROM vals
+    """,
+    doc="Placeholder-token discovery over contract-violating values "
+    "(reference discover_placeholder_values, data_validation.py:287-380): "
+    "null-ish token set, all-zero strings, punctuation-only, and "
+    "null-ish substrings, classified engine-side.",
+    tags=("validation", "reference"),
+)
+def placeholder_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return discover_placeholder_values(o, ORDERS_PATTERNS, limit=10)
 
 
 @register(
