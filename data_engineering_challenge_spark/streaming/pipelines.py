@@ -93,3 +93,53 @@ def run_stream_to_memory(df: DataFrame, name: str, mode: str = "append") -> None
     q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
     q.stop()
+
+
+def user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    running totals with event-time state timeout.
+
+    The state (n_events, total_value) lives in the state store keyed by
+    user_id; each micro-batch updates it Arrow-batched and emits the
+    current totals (update mode). State times out — and emits a final
+    `closed=true` row — once the watermark passes last activity + the
+    session gap, which is what bounds state size on an unbounded
+    stream: memory is O(active users in the gap window), not O(users
+    ever seen).
+    """
+    import pandas as pd  # local: executors import lazily
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    GAP_MS = 30 * 60 * 1000
+
+    def op(key, pdf_iter, state: GroupState):
+        if state.hasTimedOut:
+            n, tot = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [tot], "closed": [True]}
+            )
+            return
+        n, tot = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+        state.update((n, tot))
+        state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + GAP_MS)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [tot], "closed": [False]}
+        )
+
+    e = _read_events_stream(spark, sf_dir)
+    return (
+        e.withWatermark("ts", WATERMARK)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            op,
+            outputStructType="user_id bigint, n_events bigint, total_value double, closed boolean",
+            stateStructType="n bigint, tot double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

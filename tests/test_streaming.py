@@ -35,3 +35,36 @@ def test_streaming_dedup(spark, sf_dir):
     got = spark.sql("SELECT count(*) AS n, count(DISTINCT event_id) AS d FROM dedup_out").first()
     assert got.n == got.d  # no duplicate event_ids survive
     assert got.n > 0
+
+
+def test_stateful_user_totals_matches_batch(spark, sf_dir):
+    import pytest
+
+    from data_engineering_challenge_spark.catalog import load_table
+    from data_engineering_challenge_spark.streaming.pipelines import user_totals_stream
+    from pyspark.sql import functions as F
+
+    s = user_totals_stream(spark, sf_dir)
+    assert s.isStreaming
+    run_stream_to_memory(s, "user_totals_out", mode="update")
+    # last update per user = the totals after all data was consumed
+    got = {
+        r.user_id: r
+        for r in spark.sql(
+            """SELECT user_id, n_events, total_value FROM (
+                   SELECT *, ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY n_events DESC) rk
+                   FROM user_totals_out) WHERE rk = 1"""
+        ).collect()
+    }
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("value").alias("total_value"))
+        .collect()
+    )
+    assert len(got) == len(want)
+    for w in want:
+        g = got[w.user_id]
+        assert g.n_events == w.n_events
+        assert g.total_value == pytest.approx(w.total_value, rel=1e-9)
