@@ -1,0 +1,98 @@
+"""Physical-plan regression tests: the properties that make queries
+survive a 100× scale-up, asserted at sf0.001 (SURVEY.md §4)."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_challenge_spark import registry
+from data_engineering_challenge_spark.plans import (
+    count_exchanges,
+    physical_plan,
+)
+from data_engineering_challenge_spark.plans.checks import read_columns, scans_of
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    return physical_plan(registry.all_queries()[name].fn(spark, sf_dir))
+
+
+def test_top10_is_distributed_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top10_units")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 10
+    assert count_exchanges(plan) == 1  # exactly the partial->final agg shuffle
+    (scan,) = scans_of(plan, "lineitem")
+    assert read_columns(scan) == {"l_partkey", "l_quantity"}  # column pruning
+
+
+def test_pricing_summary_single_shuffle_and_pruned_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    # one agg shuffle + the final ORDER BY's range exchange over ~6 rows
+    assert count_exchanges(plan) <= 2
+    assert "partial_sum" in plan  # map-side combine
+    (scan,) = scans_of(plan, "lineitem")
+    assert read_columns(scan) == {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+    }
+
+
+@pytest.mark.parametrize("name", ["margin_signature_2months", "margin_signature_60days"])
+def test_margin_broadcasts_dim_and_pushes_promo_filter(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "BroadcastHashJoin" in plan  # dim side broadcast, fact never shuffles
+    assert "SortMergeJoin" not in plan
+    (scan,) = scans_of(plan, "part.parquet")
+    assert "EqualTo(p_type,PROMO)" in scan.get("PushedFilters", "")
+    # fact scan reads only join key + measure + date (a second slim
+    # lineitem scan feeds the 1-row bounds aggregate)
+    fact_scans = [
+        s for s in scans_of(plan, "lineitem") if "l_extendedprice" in read_columns(s)
+    ]
+    assert len(fact_scans) == 1
+    assert read_columns(fact_scans[0]) == {"l_partkey", "l_extendedprice", "l_shipdate"}
+
+
+def test_revenue_per_day_pruned_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "revenue_per_day")
+    (scan,) = scans_of(plan, "orders")
+    assert read_columns(scan) == {"o_orderdate", "o_totalprice"}
+
+
+def test_ann_topk_broadcasts_queries_not_corpus(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ann_topk")
+    assert "BroadcastNestedLoopJoin" in plan  # query batch broadcast
+    assert "CartesianProduct" not in plan  # never a partitioned cross product
+
+
+def test_filter_pushdown_reaches_parquet(spark, sf_dir):
+    from data_engineering_challenge_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    df = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") == 42).select("o_custkey")
+    (scan,) = scans_of(physical_plan(df), "orders")
+    assert "EqualTo(o_orderkey,42)" in scan.get("PushedFilters", "")
+    assert read_columns(scan) == {"o_orderkey", "o_custkey"}
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """The §4 design decision replacing the reference's B-tree date
+    index: month-partitioned parquet must give partition-pruned reads."""
+    from data_engineering_challenge_spark.catalog import load_table
+    from data_engineering_challenge_spark.sinks.writers import write_partitioned_parquet
+    from pyspark.sql import functions as F
+
+    o = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_by_month")
+    write_partitioned_parquet(o, out, date_col="o_orderdate")
+    back = spark.read.parquet(out).filter(F.col("part_month") == "1997-03")
+    plan = physical_plan(back)
+    (scan,) = scans_of(plan, "orders_by_month")
+    assert "part_month" in scan.get("PartitionFilters", "")
+    assert back.count() == o.filter(
+        F.date_format("o_orderdate", "yyyy-MM") == "1997-03"
+    ).count()
