@@ -280,3 +280,76 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag", "l_linestatus")
     )
+
+
+@register(
+    "sales_cube",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag) AS g_flag,
+               GROUPING(l_linestatus) AS g_status,
+               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               COUNT(*) AS n_rows
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus
+    """,
+    doc="CUBE over (returnflag, linestatus) with per-column GROUPING "
+    "flags — all four grouping sets in one pass (Spark expands the "
+    "cube map-side; still a single shuffle).",
+    tags=("agg", "cube"),
+)
+def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").alias("g_flag"),
+            F.grouping("l_linestatus").alias("g_status"),
+            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "parts_shipped_both_years",
+    oracle="""
+        SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1997
+        INTERSECT
+        SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1998
+        ORDER BY l_partkey
+    """,
+    doc="Row-level INTERSECT (set semantics): parts shipped in both "
+    "1997 and 1998. Catalyst plans intersect as a left-semi aggregate "
+    "join — one shuffle per side on the compared columns.",
+    tags=("setop",),
+)
+def parts_shipped_both_years(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    y = F.year("l_shipdate")
+    a = l.filter(y == 1997).select("l_partkey")
+    b = l.filter(y == 1998).select("l_partkey")
+    return a.intersect(b).orderBy("l_partkey")
+
+
+@register(
+    "supplier_shipments_lost_yoy",
+    oracle="""
+        SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1997
+        EXCEPT ALL
+        SELECT l_suppkey FROM lineitem WHERE year(l_shipdate) = 1998
+        ORDER BY l_suppkey
+    """,
+    doc="Row-level EXCEPT ALL (bag semantics): per-supplier shipment "
+    "multiplicity lost year-over-year — exceptAll keeps the count "
+    "difference per key, unlike set EXCEPT.",
+    tags=("setop",),
+)
+def supplier_shipments_lost_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    y = F.year("l_shipdate")
+    a = l.filter(y == 1997).select("l_suppkey")
+    b = l.filter(y == 1998).select("l_suppkey")
+    return a.exceptAll(b).orderBy("l_suppkey")

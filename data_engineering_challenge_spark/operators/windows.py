@@ -298,3 +298,61 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_linestatus").asc_nulls_first(),
         )
     )
+
+
+@register(
+    "daily_revenue_analytics",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(o_orderdate AS DATE) AS order_date,
+                   SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders
+            GROUP BY 1
+        )
+        SELECT order_date, revenue,
+               LAG(revenue) OVER w AS prev_revenue,
+               LEAD(revenue) OVER w AS next_revenue,
+               revenue - LAG(revenue) OVER w AS delta,
+               NTILE(4) OVER (ORDER BY revenue, order_date) AS revenue_quartile,
+               ROUND(PERCENT_RANK() OVER (ORDER BY revenue, order_date), 12)
+                   AS revenue_pct_rank,
+               CAST(SUM(revenue) OVER (
+                   ORDER BY order_date
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / COUNT(*) OVER (
+                   ORDER BY order_date
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+               ) AS revenue_7d_ma
+        FROM daily
+        WINDOW w AS (ORDER BY order_date)
+        ORDER BY order_date
+    """,
+    doc="Analytic-function battery over pre-aggregated daily revenue: "
+    "lag/lead/delta, ntile quartiles, percent_rank, and a 7-row moving "
+    "average. The window input is |days|, never |orders| — aggregate "
+    "first, analyze second is what keeps single-partition windows "
+    "harmless at any scale (the unpartitioned window sees ~3k rows).",
+    tags=("window", "analytic"),
+)
+def daily_revenue_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("order_date")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).alias("revenue")
+    )
+    w = W.orderBy("order_date")
+    wr = W.orderBy("revenue", "order_date")
+    ma = W.orderBy("order_date").rowsBetween(-6, 0)
+    return daily.select(
+        "order_date",
+        "revenue",
+        F.lag("revenue").over(w).alias("prev_revenue"),
+        F.lead("revenue").over(w).alias("next_revenue"),
+        (F.col("revenue") - F.lag("revenue").over(w)).alias("delta"),
+        F.ntile(4).over(wr).alias("revenue_quartile"),
+        F.round(F.percent_rank().over(wr), 12).alias("revenue_pct_rank"),
+        # exact decimal SUM / COUNT instead of AVG: decimal-average
+        # result scales differ between engines; this is bit-identical
+        (F.sum("revenue").over(ma).cast("double") / F.count(F.lit(1)).over(ma)).alias(
+            "revenue_7d_ma"
+        ),
+    ).orderBy("order_date")
