@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table
 from ..functions.vectors import as_double, cosine, dot, hyperplanes, norm
@@ -43,9 +44,15 @@ _DOT_SQL = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
 
 
 def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus with precomputed norms, persisted: every consumer plan
+    (buckets, query side, rerank side) reads the same materialization
+    instead of re-deriving the norm fold per consumer. The cluster
+    analog is a staged norms+vectors table."""
     e = load_table(spark, sf_dir, "embeddings")
     v = as_double(F.col("embedding"))
-    return e.select("vec_id", v.alias("v"), norm(v).alias("nrm"))
+    return e.select("vec_id", v.alias("v"), norm(v).alias("nrm")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
 
 
 _CORPUS_SQL = f"""
@@ -166,7 +173,9 @@ def _band_bucket_col(vec_col: F.Column, band: int) -> F.Column:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_with_norm(spark, sf_dir)
     band_arr = F.array(*[_band_bucket_col(F.col("v"), b) for b in range(LSH_BANDS)])
-    buckets = e.select("vec_id", F.posexplode(band_arr).alias("band", "bucket"))
+    buckets = e.select("vec_id", F.posexplode(band_arr).alias("band", "bucket")).persist(
+        StorageLevel.MEMORY_AND_DISK  # consumed by the probe and corpus sides
+    )
     qb = buckets.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
     )
@@ -235,7 +244,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_with_norm(spark, sf_dir)
     band_arr = F.array(*[_band_bucket_col(F.col("v"), b) for b in range(LSH_BANDS)])
-    buckets = e.select("vec_id", F.posexplode(band_arr).alias("band", "bucket"))
+    buckets = e.select("vec_id", F.posexplode(band_arr).alias("band", "bucket")).persist(
+        StorageLevel.MEMORY_AND_DISK  # both sides of the bucket self-join
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
