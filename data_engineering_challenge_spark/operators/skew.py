@@ -1,0 +1,56 @@
+"""Skew-mitigation utilities: salted joins and salted distinct counts.
+
+AQE's skew-join splitting (on in session.py) handles moderate skew at
+runtime; these explicit rewrites are the escape hatch for pathological
+keys (the 100-TB posture in the brief: "skewed keys → salting or AQE
+skew-join").
+
+Both rewrites preserve exact semantics — tests assert equality with
+the unsalted plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    fact_key: str,
+    dim_key: str,
+    n_salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where hot fact keys would overload single reducers:
+    the fact side gets a deterministic salt from its row content, the
+    dim side replicates once per salt value, and the join runs on
+    (key, salt) — each hot key now spreads over `n_salt` reducers.
+
+    Dim replication costs |dim| × n_salt rows, which is why this is
+    for fact-dim joins (dim small) — exactly the skew shape that hurts.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
+    out = f.join(d, (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"]), how)
+    return out.drop("__salt")
+
+
+def salted_count_distinct(
+    df: DataFrame, group_key: str, distinct_col: str, n_salt: int = 8
+) -> DataFrame:
+    """COUNT(DISTINCT x) per group without funneling each group through
+    one reducer: stage 1 dedups (group, salt-of-x, x) — spreading a hot
+    group across `n_salt` reducers — stage 2 sums per-salt distinct
+    counts (sound because salt partitions the value space).
+    """
+    salt = F.pmod(F.hash(F.col(distinct_col)), F.lit(n_salt))
+    stage1 = (
+        df.select(group_key, F.col(distinct_col), salt.alias("__salt"))
+        .distinct()
+        .groupBy(group_key, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return stage1.groupBy(group_key).agg(F.sum("__partial").alias(f"n_distinct_{distinct_col}"))

@@ -76,6 +76,7 @@ def _load_all() -> None:
         profiling,
         relational,
         similarity,
+        temporal,
         text_analysis,
         validation,
         windows,

@@ -51,6 +51,26 @@ def write_csv(df: DataFrame, path: str, sep: str = "|", mode: str = "overwrite")
     df.write.option("sep", sep).option("header", True).mode(mode).csv(path)
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: co-locates rows by hash(bucket_col) at
+    write time so repeated joins/aggregations on that key run without
+    a shuffle (Catalyst sees the bucketing as a satisfied hash
+    distribution). The 100-TB design for fact-fact joins where neither
+    side broadcasts: pay the shuffle once at load, never per query.
+    """
+    w = df.write.bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.mode(mode).format("parquet").saveAsTable(table)
+
+
 def verify_rowcount(spark: SparkSession, df: DataFrame, path: str) -> tuple[int, int, bool]:
     """(source_count, written_count, match) — load reconciliation."""
     src = df.count()
