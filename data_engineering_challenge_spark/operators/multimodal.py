@@ -94,3 +94,75 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
     return extract_payload_meta(payloads, "doc_id", "payload").orderBy("doc_id")
+
+
+FRAMES_PER_DOC = 3
+FRAME_SCHEMA = "doc_id bigint, frame_idx int, frame_md5 string"
+RESIZE_SCHEMA = (
+    "doc_id bigint, orig_width int, orig_height int, new_width int, new_height int"
+)
+
+
+def sample_frames(df: DataFrame, id_col: str, payload_col: str, n_frames: int) -> DataFrame:
+    """Frame sampling over 'video' payloads: one input row → n output
+    rows, the 1→N shape a real frame extractor has. The frame decode is
+    the deterministic fake (md5 of payload + index); the Spark plumbing
+    — mapInPandas emitting more rows than it consumes, bounded Arrow
+    batches — is the real thing.
+    """
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for did, payload in zip(pdf[id_col], pdf[payload_col]):
+                for i in range(n_frames):
+                    ids.append(did)
+                    idxs.append(i)
+                    hashes.append(
+                        hashlib.md5(bytes(payload) + b":" + str(i).encode()).hexdigest()
+                    )
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_md5": hashes})
+
+    return df.select(id_col, payload_col).mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+def resize_media(df: DataFrame, id_col: str, payload_col: str, scale: float = 0.5) -> DataFrame:
+    """Resize stage: decode (stubbed fake) → scale dimensions. Schema,
+    batch shape, and partition parallelism are production-real; the
+    pixel work is where PIL would slot in."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = [decode_media(bytes(p), fake=True) for p in pdf[payload_col]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "orig_width": [m["fake_width"] for m in metas],
+                    "orig_height": [m["fake_height"] for m in metas],
+                    "new_width": [int(m["fake_width"] * scale) for m in metas],
+                    "new_height": [int(m["fake_height"] * scale) for m in metas],
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+@register(
+    "multimodal_frames",
+    oracle=f"""
+        SELECT doc_id, CAST(i AS INT) AS frame_idx,
+               md5(text || ':' || CAST(i AS VARCHAR)) AS frame_md5
+        FROM documents, range(0, {FRAMES_PER_DOC}) r(i)
+        ORDER BY doc_id, frame_idx
+    """,
+    doc="Frame sampling (1 row → 3 frame rows) via mapInPandas over "
+    "binary payloads; the oracle recomputes the deterministic fake "
+    "frame hashes relationally (payload bytes == UTF-8 text bytes).",
+    tags=("multimodal", "udf", "extension"),
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    payloads = d.select("doc_id", F.encode("text", "UTF-8").alias("payload"))
+    return sample_frames(payloads, "doc_id", "payload", FRAMES_PER_DOC).orderBy(
+        "doc_id", "frame_idx"
+    )

@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) for the messy-data cleaning kit:
+the invariants hold for arbitrary inputs, not just the fixtures."""
+
+from __future__ import annotations
+
+from decimal import Decimal
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from data_engineering_challenge_spark.functions.cleaning import (
+    NULL_TOKENS,
+    WIDE_NULL_TOKENS,
+    normalize_null_tokens,
+    parse_bool,
+    parse_decimal_comma,
+)
+
+_SETTINGS = dict(
+    max_examples=12,  # each example is a Spark job — keep the suite fast
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.function_scoped_fixture],
+)
+
+
+def _roundtrip(spark, values, expr):
+    df = spark.createDataFrame([(v,) for v in values], ["x"])
+    return [r.y for r in df.select(expr(F.col("x")).alias("y")).collect()]
+
+
+@given(st.lists(st.sampled_from(sorted(WIDE_NULL_TOKENS)), min_size=1, max_size=5))
+@settings(**_SETTINGS)
+def test_null_tokens_always_null(spark, tokens):
+    got = _roundtrip(
+        spark, tokens, lambda c: normalize_null_tokens(c, WIDE_NULL_TOKENS)
+    )
+    assert all(v is None for v in got)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            min_size=1,
+            max_size=20,
+        ).filter(lambda s: s not in NULL_TOKENS),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_non_tokens_pass_through(spark, values):
+    got = _roundtrip(spark, values, lambda c: normalize_null_tokens(c, NULL_TOKENS))
+    assert got == values
+
+
+@given(
+    st.lists(
+        st.decimals(
+            min_value=Decimal("-999999.999999"),
+            max_value=Decimal("999999.999999"),
+            allow_nan=False,
+            allow_infinity=False,
+            places=6,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_decimal_comma_equals_decimal_point(spark, decs):
+    """'123,45' must parse to exactly what '123.45' parses to."""
+    eu = [str(d).replace(".", ",") for d in decs]
+    us = [str(d) for d in decs]
+    got_eu = _roundtrip(spark, eu, parse_decimal_comma)
+    got_us = _roundtrip(spark, us, parse_decimal_comma)
+    assert got_eu == got_us
+    assert got_eu == [d.quantize(Decimal("0.000001")) for d in decs]
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+            max_size=15,
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_garbage_never_corrupts_numeric(spark, values):
+    """Anything that isn't a clean EU/US numeric becomes NULL, never a
+    wrong number."""
+    import re
+
+    got = _roundtrip(spark, values, parse_decimal_comma)
+    for v, g in zip(values, got):
+        s = v.strip()
+        if re.fullmatch(r"[+-]?\d+(,\d+)?", s):
+            assert g == Decimal(s.replace(",", ".")).quantize(Decimal("0.000001"))
+        elif re.fullmatch(r"[+-]?\d+(\.\d+)?", s):
+            assert g == Decimal(s).quantize(Decimal("0.000001"))
+        else:
+            assert g is None
+
+
+@given(
+    st.lists(
+        st.sampled_from(
+            ["true", "T", "YES", "y", "1", "false", "F", "no", "N", "0", "maybe", "", "2"]
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**_SETTINGS)
+def test_bool_parse_total_and_correct(spark, values):
+    got = _roundtrip(spark, values, parse_bool)
+    for v, g in zip(values, got):
+        lv = v.lower()
+        if lv in ("true", "t", "yes", "y", "1"):
+            assert g is True
+        elif lv in ("false", "f", "no", "n", "0"):
+            assert g is False
+        else:
+            assert g is None
