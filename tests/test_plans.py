@@ -96,3 +96,27 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     assert back.count() == o.filter(
         F.date_format("o_orderdate", "yyyy-MM") == "1997-03"
     ).count()
+
+
+def test_star_join_broadcasts_all_dims(spark, sf_dir):
+    """TPC-H Q5 shape: every dim joins as BroadcastHashJoin; the fact
+    spine shuffles once (lineitem-orders) plus the final agg — never a
+    sort-merge join of fact against a dim."""
+    plan = _plan(spark, sf_dir, "local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in plan or count_exchanges(plan) <= 3
+    (scan,) = scans_of(plan, "region")
+    assert "EqualTo(r_name,ASIA)" in scan.get("PushedFilters", "")
+    # orders date-range predicate reaches the parquet scan
+    (oscan,) = scans_of(plan, "orders")
+    assert "o_orderdate" in oscan.get("PushedFilters", "") or "o_orderdate" in str(
+        oscan.get("ReadSchema", "")
+    )
+
+
+def test_shipping_priority_is_distributed_topk(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "shipping_priority_top10")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastHashJoin" in plan  # customer dim broadcast
+    (cscan,) = scans_of(plan, "customer")
+    assert "EqualTo(c_mktsegment,BUILDING)" in cscan.get("PushedFilters", "")
