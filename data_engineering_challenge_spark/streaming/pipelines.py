@@ -143,3 +143,33 @@ def user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def run_stream_collect_batches(df: DataFrame, mode: str = "update") -> list[tuple[int, list]]:
+    """Drive a stream to completion through foreachBatch, returning
+    [(batch_id, rows)] — the exactly-once sink hook (a production sink
+    writes each batch transactionally; here we collect for assertions)."""
+    out: list[tuple[int, list]] = []
+
+    def sink(batch_df, batch_id: int) -> None:
+        out.append((int(batch_id), batch_df.collect()))
+
+    q = df.writeStream.outputMode(mode).foreachBatch(sink).start()
+    q.processAllAvailable()
+    q.stop()
+    return out
+
+
+def write_stream_to_parquet(df: DataFrame, path: str, checkpoint: str) -> None:
+    """Append-mode parquet sink with a checkpoint directory — the
+    production file-sink shape: offsets + sink metadata in the
+    checkpoint give end-to-end exactly-once on restart."""
+    q = (
+        df.writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

@@ -68,3 +68,72 @@ def test_stateful_user_totals_matches_batch(spark, sf_dir):
         g = got[w.user_id]
         assert g.n_events == w.n_events
         assert g.total_value == pytest.approx(w.total_value, rel=1e-9)
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Deterministic late-data semantics: after batch 1 advances the
+    watermark, a batch-2 event whose 10-min window closed before the
+    watermark is DROPPED; an in-watermark event still counts."""
+    import os
+
+    from pyspark.sql import functions as F
+    from data_engineering_challenge_spark.streaming.pipelines import (
+        run_stream_collect_batches,
+    )
+
+    src = tmp_path / "stream_src"
+    os.makedirs(src)
+    base = "2024-01-01 {}"
+    # batch 0 advances the watermark to 10:50; batch 1 triggers state
+    # eviction for closed windows (Spark applies the late filter from
+    # the batch after eviction); batch 2 carries the probe rows
+    files = {
+        "f1": [(i, base.format(t)) for i, t in enumerate(
+            ["10:00:00", "10:05:00", "10:20:00", "10:55:00", "11:00:00"])],
+        "f2": [(100, base.format("11:01:00"))],
+        "f3": [(200, base.format("10:05:30")),   # late: window [10:00,10:10) closed
+               (201, base.format("10:55:30"))],  # ok: window [10:50,11:00) still open
+    }
+    for name, rows in files.items():
+        spark.createDataFrame(rows, ["event_id", "ts_s"]).withColumn(
+            "ts", F.to_timestamp("ts_s")
+        ).drop("ts_s").coalesce(1).write.parquet(str(src / name))
+    # flatten: the file source wants files in one dir, ordered by mtime
+    import glob
+    import shutil
+
+    flat = tmp_path / "flat"
+    os.makedirs(flat)
+    for i, d in enumerate(files):
+        (p,) = glob.glob(str(src / d / "part-*.parquet"))
+        shutil.copy(p, str(flat / f"{i:04d}.parquet"))
+        os.utime(str(flat / f"{i:04d}.parquet"), (1700000000 + i * 100,) * 2)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(flat))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").cast("string").alias("ws"), "n")
+    )
+    batches = run_stream_collect_batches(stream, mode="update")
+    assert len(batches) >= 3
+    probe_updates = [r for _, rows in batches[2:] for r in rows]
+    starts = {r.ws for r in probe_updates}
+    assert "2024-01-01 10:50:00" in starts  # in-watermark event counted
+    assert "2024-01-01 10:00:00" not in starts  # late event dropped
+
+
+def test_parquet_sink_with_checkpoint(spark, sf_dir, tmp_path):
+    from data_engineering_challenge_spark.streaming.pipelines import (
+        dedup_events_stream,
+        write_stream_to_parquet,
+    )
+
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    write_stream_to_parquet(dedup_events_stream(spark, sf_dir), out, ckpt)
+    back = spark.read.parquet(out)
+    assert back.count() == back.select("event_id").distinct().count()
+    assert back.count() > 0
