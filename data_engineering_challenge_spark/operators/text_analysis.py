@@ -204,3 +204,38 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.md5(F.col("norm").cast("binary")))
         .alias("min_shingle_fp"),
     ).orderBy("doc_id")
+
+
+# GPT-2-pre-tokenizer-ish: runs of alphanumerics, or a single
+# non-space symbol. ASCII classes only so Java and RE2-family regex
+# engines agree byte-for-byte.
+BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+
+@register(
+    "bpe_token_counts",
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{BPE_ISH_PATTERN}')) AS n_bpe_tokens,
+               len(list_distinct(regexp_extract_all(lower(text), '{BPE_ISH_PATTERN}')))
+                   AS n_unique_bpe_tokens,
+               len({_TOK_SQL}) AS n_ws_tokens
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="BPE-ish regex tokenization (alnum runs + single symbols — the "
+    "pre-tokenizer granularity an LLM pipeline budgets with) next to "
+    "whitespace token counts; ASCII-only classes keep Java and RE2 "
+    "regex semantics identical.",
+    tags=("text", "extension"),
+)
+def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+    bpe_lower = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), 0)
+    return d.select(
+        "doc_id",
+        F.size(bpe).alias("n_bpe_tokens"),
+        F.size(F.array_distinct(bpe_lower)).alias("n_unique_bpe_tokens"),
+        F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
+    ).orderBy("doc_id")
