@@ -454,3 +454,59 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(rev).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+@register(
+    "customers_without_orders",
+    oracle="""
+        SELECT c_custkey, c_mktsegment
+        FROM customer
+        WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM orders
+            WHERE o_custkey IS NOT NULL AND year(CAST(o_orderdate AS DATE)) = 1995
+        )
+        ORDER BY c_custkey
+    """,
+    doc="Anti join (NOT IN / left_anti): customers with no 1995 order. "
+    "Catalyst plans left_anti as a broadcast/hash anti join — no "
+    "full materialization of the complement.",
+    tags=("join", "setop"),
+)
+def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.year(F.col("o_orderdate").cast("date")) == 1995
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "suppliers_of_promo_parts",
+    oracle="""
+        SELECT s_suppkey, s_name
+        FROM supplier
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            WHERE p_type = 'PROMO'
+        )
+        ORDER BY s_suppkey
+    """,
+    doc="Semi join (IN / left_semi): suppliers that shipped at least one "
+    "signature (PROMO) part — existence check without duplication.",
+    tags=("join", "setop"),
+)
+def suppliers_of_promo_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    promo_supp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select("l_suppkey")
+    return (
+        s.join(promo_supp, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

@@ -72,6 +72,7 @@ def _load_all() -> None:
         return
     from .operators import (  # noqa: F401
         dedup,
+        graph,
         multimodal,
         profiling,
         relational,

@@ -1,0 +1,45 @@
+"""Connected-components operators on known toy graphs."""
+
+from __future__ import annotations
+
+from data_engineering_challenge_spark.operators.graph import (
+    connected_components,
+    connected_components_bipartite,
+)
+
+
+def test_edge_list_components(spark):
+    # components: {1,2,3,4} (chain), {5,6}, {7} isolated
+    nodes = spark.createDataFrame([(i,) for i in range(1, 8)], ["node"])
+    edges = spark.createDataFrame([(1, 2), (2, 3), (3, 4), (5, 6)], ["a", "b"])
+    got = {r.node: r.component for r in connected_components(nodes, edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 5, 6: 5, 7: 7}
+
+
+def test_bipartite_components(spark):
+    # docs 1,2 share attr x; docs 2,3 share attr y; 4 alone; 5,6 share z
+    rows = [(1, "x"), (2, "x"), (2, "y"), (3, "y"), (4, "q"), (5, "z"), (6, "z")]
+    a = spark.createDataFrame(rows, ["node", "attr"])
+    got = {r.node: r.component for r in connected_components_bipartite(a).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
+
+
+def test_formulations_agree(spark):
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    assigns = [(i, f"a{rng.randrange(25)}") for i in range(n) for _ in range(2)]
+    a = spark.createDataFrame(assigns, ["node", "attr"])
+    # derive the equivalent edge list: nodes sharing an attr
+    b = a.toDF("node2", "attr")
+    edges = (
+        a.join(b, "attr")
+        .filter("node < node2")
+        .selectExpr("node as a", "node2 as b")
+        .distinct()
+    )
+    nodes = a.select("node").distinct()
+    via_edges = {r.node: r.component for r in connected_components(nodes, edges).collect()}
+    via_bip = {r.node: r.component for r in connected_components_bipartite(a).collect()}
+    assert via_edges == via_bip
