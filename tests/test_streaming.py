@@ -137,3 +137,51 @@ def test_parquet_sink_with_checkpoint(spark, sf_dir, tmp_path):
     back = spark.read.parquet(out)
     assert back.count() == back.select("event_id").distinct().count()
     assert back.count() > 0
+
+
+def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
+    """Stop a checkpointed query, add a file, restart with the same
+    checkpoint: the first file must not be reprocessed (offsets in the
+    checkpoint), and the sink ends up with each row exactly once."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def write_file(name, ids):
+        spark.createDataFrame([(i,) for i in ids], ["event_id"]).coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(tmp_path / ("stage_" + name)))
+        import glob
+        import shutil
+
+        (p,) = glob.glob(str(tmp_path / ("stage_" + name) / "part-*.parquet"))
+        shutil.copy(p, os.path.join(src, name + ".parquet"))
+
+    def run_once():
+        q = (
+            spark.readStream.schema("event_id long")
+            .parquet(src)
+            .withColumn("doubled", F.col("event_id") * 2)
+            .writeStream.outputMode("append")
+            .format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    write_file("f1", range(0, 100))
+    run_once()
+    assert spark.read.parquet(out).count() == 100
+    write_file("f2", range(100, 150))
+    run_once()  # restart from the same checkpoint
+    back = spark.read.parquet(out)
+    assert back.count() == 150  # f1 NOT reprocessed, f2 appended once
+    assert back.select("event_id").distinct().count() == 150
+    assert back.agg(F.sum("doubled")).first()[0] == sum(2 * i for i in range(150))
