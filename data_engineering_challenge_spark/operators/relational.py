@@ -510,3 +510,36 @@ def suppliers_of_promo_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@register(
+    "quantity_quartiles",
+    oracle="""
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS q25,
+               quantile_cont(l_quantity, 0.50) AS q50,
+               quantile_cont(l_quantity, 0.75) AS q75,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    doc="Exact interpolated percentiles per group (ordered-set "
+    "aggregate). Order statistics are accumulation-free — unlike "
+    "avg/stddev of doubles they are bit-identical across engines and "
+    "partitionings. Spark sorts within the aggregation buffer; at "
+    "scale, approx_percentile is the sketch-based alternative.",
+    tags=("agg", "percentile"),
+)
+def quantity_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_quantity", 0.25).alias("q25"),
+            F.percentile("l_quantity", 0.50).alias("q50"),
+            F.percentile("l_quantity", 0.75).alias("q75"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
