@@ -166,3 +166,62 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(payloads, "doc_id", "payload", FRAMES_PER_DOC).orderBy(
         "doc_id", "frame_idx"
     )
+
+
+USER_TREND_SCHEMA = "user_id bigint, n bigint, slope double"
+
+
+def user_value_trend(df: DataFrame, min_points: int = 2) -> DataFrame:
+    """applyInPandas grouped-map: per-user OLS slope of value over
+    time — the custom-Python-stat-per-group shape (a real pipeline
+    fits per-group models here). Each group arrives as one pandas
+    frame; the slope uses the closed-form sum formula so the oracle
+    (SQL regr_slope) computes the same expression.
+    """
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < min_points:
+            return pd.DataFrame({"user_id": pdf["user_id"].iloc[:1], "n": [n], "slope": [None]})
+        x = pdf["x"].astype("float64")
+        y = pdf["value"].astype("float64")
+        sx, sy = x.sum(), y.sum()
+        sxy, sxx = (x * y).sum(), (x * x).sum()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return pd.DataFrame({"user_id": pdf["user_id"].iloc[:1], "n": [n], "slope": [slope]})
+
+    return df.groupBy("user_id").applyInPandas(fit, schema=USER_TREND_SCHEMA)
+
+
+@register(
+    "user_value_trend",
+    oracle="""
+        SELECT user_id,
+               COUNT(*) AS n,
+               round(regr_slope(value, epoch(ts)), 6) + 0.0 AS slope
+        FROM events
+        GROUP BY user_id
+        ORDER BY user_id
+    """,
+    doc="Per-group custom model fit via applyInPandas (grouped-map "
+    "pandas UDF): OLS slope of event value over time per user, checked "
+    "against SQL regr_slope. Rounded to 6 decimals on both sides — the "
+    "two engines accumulate the same closed-form sums in different "
+    "orders.",
+    tags=("udf", "extension"),
+)
+def user_value_trend_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    # timestamp → fractional epoch seconds (microsecond-exact, matching
+    # DuckDB's epoch(); unix_timestamp would truncate to whole seconds)
+    pts = e.select(
+        "user_id",
+        F.col("ts").cast("timestamp").cast("double").alias("x"),
+        F.col("value"),
+    )
+    out = user_value_trend(pts)
+    # + 0.0 canonicalizes IEEE -0.0 (a slope rounding to zero keeps its
+    # sign otherwise, and the two engines can disagree on it)
+    return out.select(
+        "user_id", "n", (F.round("slope", 6) + F.lit(0.0)).alias("slope")
+    ).orderBy("user_id")

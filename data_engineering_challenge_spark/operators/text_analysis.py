@@ -239,3 +239,38 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(bpe_lower)).alias("n_unique_bpe_tokens"),
         F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
     ).orderBy("doc_id")
+
+
+@register(
+    "doc_sentences",
+    oracle="""
+        SELECT doc_id, CAST(x['i'] AS INT) AS sent_idx, x['s'] AS sentence
+        FROM (SELECT doc_id,
+                unnest(list_transform(string_split(text, '. '),
+                       (s, i) -> {'s': s, 'i': i - 1})) AS x
+              FROM documents)
+        ORDER BY doc_id, sent_idx
+    """,
+    doc="Python UDTF (1 row → N sentence rows via LATERAL) — the "
+    "table-function surface. Row-at-a-time Python is deliberately the "
+    "slow path; multimodal_frames shows the Arrow-vectorized "
+    "equivalent for hot paths. Split is plain substring '. ' in both "
+    "engines.",
+    tags=("udf", "udtf", "text", "extension"),
+)
+def doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
+    class SplitSentences:
+        def eval(self, doc_id: int, text: str):
+            for i, s in enumerate((text or "").split(". ")):
+                yield doc_id, i, s
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(
+        """SELECT s.doc_id, s.sent_idx, s.sentence
+           FROM documents, LATERAL split_sentences(doc_id, text) s
+           ORDER BY s.doc_id, s.sent_idx"""
+    )

@@ -173,3 +173,45 @@ def write_stream_to_parquet(df: DataFrame, path: str, checkpoint: str) -> None:
     )
     q.processAllAvailable()
     q.stop()
+
+
+def clicks_purchases_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join: each click joined to the same user's
+    purchases in the preceding 10 minutes. Watermarks on BOTH sides +
+    the time-range join condition are what let the engine bound join
+    state: a buffered click can be dropped once the purchase-side
+    watermark passes click_ts, and vice versa.
+    """
+    clicks = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", WATERMARK)
+    )
+    purchases = (
+        _read_events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", WATERMARK)
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user = p_user AND p_ts >= c_ts - INTERVAL 10 MINUTES AND p_ts <= c_ts"
+        ),
+    )
+    return joined.select(
+        "click_id",
+        "purchase_id",
+        F.col("c_user").alias("user_id"),
+        F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )

@@ -185,3 +185,34 @@ def test_checkpoint_restart_is_exactly_once(spark, tmp_path):
     assert back.count() == 150  # f1 NOT reprocessed, f2 appended once
     assert back.select("event_id").distinct().count() == 150
     assert back.agg(F.sum("doubled")).first()[0] == sum(2 * i for i in range(150))
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.catalog import load_table
+    from data_engineering_challenge_spark.streaming.pipelines import (
+        clicks_purchases_join_stream,
+    )
+
+    s = clicks_purchases_join_stream(spark, sf_dir)
+    assert s.isStreaming
+    run_stream_to_memory(s, "ssj_out", mode="append")
+    got = sorted(map(tuple, spark.sql("SELECT * FROM ssj_out").collect()))
+
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"))
+    want = sorted(map(tuple, (
+        c.join(p, F.expr(
+            "c_user = p_user AND purchase_ts >= click_ts - INTERVAL 10 MINUTES "
+            "AND purchase_ts <= click_ts"))
+        .select("click_id", "purchase_id", F.col("c_user").alias("user_id"),
+                "click_ts", "purchase_ts")
+    ).collect()))
+    assert got == want
+    assert len(got) > 0
