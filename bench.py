@@ -89,6 +89,9 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name, spec in registry.all_queries().items():
+        # each query is timed self-contained: persisted intermediates
+        # from earlier queries would otherwise cause LRU eviction churn
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         n = len(df.collect())
