@@ -356,3 +356,30 @@ def daily_revenue_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
             "revenue_7d_ma"
         ),
     ).orderBy("order_date")
+
+
+@register(
+    "events_by_hour_of_day",
+    oracle="""
+        SELECT hour(ts) AS hour_of_day,
+               COUNT(*) AS n_events,
+               SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+        FROM events
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="Time-component extraction (the reference's TIME-column design "
+    "point, SURVEY §1.3: no TIME type in Spark, so hour-of-day is a "
+    "derived integer): diurnal profile of events.",
+    tags=("time", "agg"),
+)
+def events_by_hour_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.hour("ts").alias("hour_of_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+        )
+        .orderBy("hour_of_day")
+    )

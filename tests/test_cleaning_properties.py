@@ -127,3 +127,29 @@ def test_bool_parse_total_and_correct(spark, values):
             assert g is False
         else:
             assert g is None
+
+
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet=st.characters(codec="ascii", categories=["Ll", "Nd"]), min_size=1, max_size=6),
+            min_size=0,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+@settings(**_SETTINGS)
+def test_word_ngrams_matches_naive_python(spark, token_lists):
+    """The zip_with shingling must equal the naive Python sliding
+    window for arbitrary token arrays (guards the 6x-faster rewrite)."""
+    from data_engineering_challenge_spark.functions.text import word_ngrams
+
+    df = spark.createDataFrame([(t,) for t in token_lists], "toks array<string>")
+    got = [r.g for r in df.select(word_ngrams(F.col("toks"), 3).alias("g")).collect()]
+    want = [
+        [" ".join(t[i : i + 3]) for i in range(len(t) - 2)] if len(t) >= 3 else []
+        for t in token_lists
+    ]
+    assert got == want
