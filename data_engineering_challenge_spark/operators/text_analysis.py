@@ -274,3 +274,41 @@ def doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM documents, LATERAL split_sentences(doc_id, text) s
            ORDER BY s.doc_id, s.sent_idx"""
     )
+
+
+N_SPLIT_BUCKETS = 10  # 8/1/1 train/val/test
+
+
+@register(
+    "stable_split",
+    oracle=f"""
+        WITH assigned AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % {N_SPLIT_BUCKETS} AS bucket
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE WHEN bucket < 8 THEN 'train'
+                    WHEN bucket = 8 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM assigned
+        ORDER BY doc_id
+    """,
+    doc="Deterministic content-hash train/val/test split (8/1/1): the "
+    "reproducible-split primitive a training pipeline needs. Hash-mod "
+    "on md5 is engine-independent and stable under re-partitioning, "
+    "unlike seeded sample() which is neither.",
+    tags=("text", "sampling", "extension"),
+)
+def stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % N_SPLIT_BUCKETS
+    )
+    split = (
+        F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    )
+    return d.select("doc_id", split.alias("split")).orderBy("doc_id")
