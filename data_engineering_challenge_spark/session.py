@@ -47,7 +47,16 @@ def apply_runtime_confs(spark: SparkSession) -> SparkSession:
     relies on for correctness (UTC timestamps) or performance (AQE,
     broadcast threshold) that can be set post-hoc is set here.
     """
-    for k, v in RUNTIME_CONFS.items():
+    confs = dict(RUNTIME_CONFS)
+    # size shuffles to the machine instead of the 200-partition default
+    # (AQE coalesces down, but the initial task count still costs) —
+    # only when the session is running on the generic default.
+    try:
+        if spark.conf.get("spark.sql.shuffle.partitions", "200") == "200":
+            confs["spark.sql.shuffle.partitions"] = str(default_parallelism())
+    except Exception:
+        pass
+    for k, v in confs.items():
         try:
             spark.conf.set(k, v)
         except Exception:
