@@ -344,3 +344,33 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "events_props_map",
+    oracle="""
+        SELECT event_type,
+               u.key AS prop_key,
+               COUNT(*) AS n,
+               SUM(CAST(json_extract_string(props, '$.' || u.key) AS BIGINT))
+                   AS sum_value
+        FROM (SELECT event_type, props, unnest(json_keys(props)) AS key
+              FROM events) u
+        GROUP BY event_type, prop_key
+        ORDER BY event_type, prop_key
+    """,
+    doc="Map-typed semi-structured handling: props parsed with "
+    "from_json into map<string,bigint>, exploded to key/value rows, "
+    "aggregated per (event_type, key). Covers MapType + explode-of-map "
+    "(the schema-free sibling of the struct-typed from_json path).",
+    tags=("validation", "json", "map"),
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,bigint>")
+    kv = e.select("event_type", F.explode(m).alias("prop_key", "v"))
+    return (
+        kv.groupBy("event_type", "prop_key")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_value"))
+        .orderBy("event_type", "prop_key")
+    )
