@@ -17,6 +17,7 @@ metadata extraction is embarrassingly parallel with zero shuffle.
 from __future__ import annotations
 
 import hashlib
+import os
 from collections.abc import Iterator
 
 import pandas as pd
@@ -219,7 +220,13 @@ def user_value_trend_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").cast("timestamp").cast("double").alias("x"),
         F.col("value"),
     )
-    out = user_value_trend(pts)
+    # grouped-map tasks pay a fixed Python-worker + Arrow-stream cost;
+    # with O(100) small groups, fewer/fatter tasks win (hash
+    # partitioning on the key at ANY partition count satisfies the
+    # required clustering, so no second shuffle). A cluster-scale run
+    # with millions of groups raises this.
+    n_cpus = max(2, (os.cpu_count() or 8) // 4)
+    out = user_value_trend(pts.repartition(n_cpus, "user_id"))
     # + 0.0 canonicalizes IEEE -0.0 (a slope rounding to zero keeps its
     # sign otherwise, and the two engines can disagree on it)
     return out.select(
