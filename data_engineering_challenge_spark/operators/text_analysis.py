@@ -312,3 +312,59 @@ def stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
     )
     return d.select("doc_id", split.alias("split")).orderBy("doc_id")
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY 1
+        ), n AS (
+            SELECT COUNT(*) AS n_docs FROM documents
+        )
+        SELECT doc_id, term, tf, doc_freq, score FROM (
+            SELECT doc_id, term, tf, doc_freq,
+                   CAST(tf * n_docs AS DOUBLE) / doc_freq AS score,
+                   row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY CAST(tf * n_docs AS DOUBLE) / doc_freq DESC, term
+                   ) AS rk
+            FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        ) WHERE rk <= 3
+        ORDER BY doc_id, term
+    """,
+    doc="TF-IDF-style top-3 salient terms per document. Exact integer "
+    "tf/df counts; the salience score is the linear-idf form "
+    "tf * N / df (one double multiply+divide of exact integers - "
+    "bit-deterministic across engines and partitionings, unlike log "
+    "idf whose libm rounding varies). Shape: explode -> two hash aggs "
+    "-> broadcast term-stats join -> per-doc top-k window.",
+    tags=("text", "extension"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * F.col("n_docs")).cast("double") / F.col("doc_freq"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tf", "doc_freq", "score")
+        .orderBy("doc_id", "term")
+    )

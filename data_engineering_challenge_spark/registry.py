@@ -98,6 +98,7 @@ def _load_all() -> None:
         multimodal,
         profiling,
         relational,
+        relational_ext,
         similarity,
         temporal,
         text_analysis,

@@ -120,3 +120,46 @@ def test_shipping_priority_is_distributed_topk(spark, sf_dir):
     assert "BroadcastHashJoin" in plan  # customer dim broadcast
     (cscan,) = scans_of(plan, "customer")
     assert "EqualTo(c_mktsegment,BUILDING)" in cscan.get("PushedFilters", "")
+
+
+def test_grouping_sets_is_single_expand_and_agg(spark, sf_dir):
+    # All three grouping levels must come from ONE Expand feeding ONE
+    # hash-agg pipeline (one shuffle), not three separate groupBys.
+    plan = _plan(spark, sf_dir, "acctbal_grouping_sets")
+    assert "Expand" in plan
+    (scan,) = scans_of(plan, "customer")
+    assert read_columns(scan) == {"c_nationkey", "c_acctbal"}
+    assert "BroadcastHashJoin" in plan  # nation/region dims never shuffle
+
+
+def test_pivot_is_single_pass_no_value_discovery(spark, sf_dir):
+    # With an explicit value list there is NO value-discovery job and
+    # no extra scan: Spark's two-stage pivot agg first reduces to
+    # |groups x values| rows (partial+final), so the later exchanges
+    # move ~15 rows. One scan, <=3 exchanges (first agg, pivot agg,
+    # ORDER BY).
+    plan = _plan(spark, sf_dir, "orders_status_priority_pivot")
+    assert count_exchanges(plan) <= 3
+    (scan,) = scans_of(plan, "orders")
+    assert read_columns(scan) == {"o_orderpriority", "o_orderstatus"}
+
+
+def test_exists_shape_plans_as_semi_join(spark, sf_dir):
+    # Correlated EXISTS must become a (left) semi join, never a full
+    # join + dedup.
+    plan = _plan(spark, sf_dir, "orders_with_discounted_lines")
+    assert "LeftSemi" in plan
+    (scan,) = scans_of(plan, "lineitem")
+    assert read_columns(scan) == {"l_orderkey", "l_discount"}
+
+
+def test_outer_join_sides_preaggregated(spark, sf_dir):
+    # The full-outer trade balance joins two per-nation AGGREGATES:
+    # both aggs must appear below the join, so the outer join sees ~25
+    # rows per side, not raw customer/supplier rows.
+    plan = _plan(spark, sf_dir, "nation_trade_balance")
+    assert "FullOuter" in plan
+    # tree children print BELOW their parent: the outer join consuming
+    # the aggregates means the join line comes first
+    join_at = plan.index("SortMergeJoin") if "SortMergeJoin" in plan else plan.index("ShuffledHashJoin")
+    assert join_at < plan.index("HashAggregate")
