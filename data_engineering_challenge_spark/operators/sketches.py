@@ -1,0 +1,103 @@
+"""Sketch-backed approximate operators, oracle-checked via
+engine-independent error bounds.
+
+At 100 TB an exact COUNT(DISTINCT) per column is an Expand + full
+shuffle per column; the HLL++ sketch (`approx_count_distinct`) is one
+pass, fixed memory (~1.5 KB per sketch at rsd=0.05), and mergeable
+across partitions — the right default for profiling-scale cardinality
+(the reference itself reaches for `approx_n_unique`,
+src/utils/dataset_profiling.py:533-535).
+
+Oracle strategy: approximate values differ by engine (different
+register counts / hash functions), so the *sketch estimate* is not
+hash-comparable. What IS comparable: the exact cardinality and the
+claim "the engine's own estimate lands within the advertised error
+bound". Both engines compute their own estimate deterministically (no
+RNG in HLL), so the bound check is a stable boolean on both sides —
+the sketch is validated without demanding cross-engine bit equality.
+Spark runs at rsd=0.01 (~1% std error) and DuckDB's fixed-precision
+HLL sits under ~1%, so the 5% gate is a >5-sigma margin: deterministic
+in practice, not flaky.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+# (table, column) pairs profiled; keep dims out (trivial cardinality)
+_COLS = {
+    "orders": ("o_custkey", "o_orderpriority"),
+    "lineitem": ("l_partkey", "l_suppkey"),
+}
+
+_RSD = 0.01  # Spark-side HLL++ target relative standard deviation
+_BOUND = 0.05  # acceptance gate, >5 sigma for both engines
+
+
+@register(
+    "approx_distinct_check",
+    oracle="""
+        WITH o AS (
+            SELECT COUNT(DISTINCT o_custkey) AS e1,
+                   approx_count_distinct(o_custkey) AS a1,
+                   COUNT(DISTINCT o_orderpriority) AS e2,
+                   approx_count_distinct(o_orderpriority) AS a2
+            FROM orders
+        ), l AS (
+            SELECT COUNT(DISTINCT l_partkey) AS e1,
+                   approx_count_distinct(l_partkey) AS a1,
+                   COUNT(DISTINCT l_suppkey) AS e2,
+                   approx_count_distinct(l_suppkey) AS a2
+            FROM lineitem
+        )
+        SELECT * FROM (
+            SELECT 'orders.o_custkey' AS column_name, e1 AS exact_distinct,
+                   abs(a1 - e1) <= 0.05 * e1 AS approx_ok FROM o
+            UNION ALL
+            SELECT 'orders.o_orderpriority', e2, abs(a2 - e2) <= 0.05 * e2 FROM o
+            UNION ALL
+            SELECT 'lineitem.l_partkey', e1, abs(a1 - e1) <= 0.05 * e1 FROM l
+            UNION ALL
+            SELECT 'lineitem.l_suppkey', e2, abs(a2 - e2) <= 0.05 * e2 FROM l
+        ) ORDER BY column_name
+    """,
+    doc="HLL++ cardinality sketches validated against exact distincts: "
+    "each engine checks its own estimate against the 5% bound, so the "
+    "sketch path is oracle-gated without cross-engine bit equality.",
+    tags=("sketch", "profiling", "extension"),
+)
+def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for table, cols in _COLS.items():
+        df = load_table(spark, sf_dir, table)
+        aggs = []
+        for c in cols:
+            aggs.append(F.countDistinct(c).alias(f"e_{c}"))
+            aggs.append(F.approx_count_distinct(c, _RSD).alias(f"a_{c}"))
+        one = df.agg(*aggs)
+        # stack the 1-row agg to long form so each table is scanned and
+        # aggregated exactly once (no common-subplan recompute per column)
+        stack_args = ", ".join(f"'{table}.{c}', e_{c}, a_{c}" for c in cols)
+        parts.append(
+            one.select(
+                F.expr(
+                    f"stack({len(cols)}, {stack_args}) "
+                    "AS (column_name, exact_distinct, approx)"
+                )
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "column_name",
+        "exact_distinct",
+        (
+            F.abs(F.col("approx") - F.col("exact_distinct"))
+            <= F.lit(_BOUND) * F.col("exact_distinct")
+        ).alias("approx_ok"),
+    ).orderBy("column_name")

@@ -383,3 +383,53 @@ def events_by_hour_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hour_of_day")
     )
+
+
+@register(
+    "priority_price_extremes",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+               first_value(o_orderkey) OVER w_full AS cheapest_key,
+               last_value(o_orderkey) OVER w_full AS priciest_key,
+               nth_value(o_orderkey, 2) OVER w_full AS second_cheapest_key,
+               cume_dist() OVER w_ord AS price_cume_dist
+        FROM orders
+        WHERE CAST(o_orderdate AS DATE) >= DATE '1997-03-01'
+          AND CAST(o_orderdate AS DATE) < DATE '1997-04-01'
+        WINDOW
+            w_full AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice, o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING),
+            w_ord AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice, o_orderkey)
+        ORDER BY o_orderkey
+    """,
+    doc="Value-window battery: first_value / last_value / nth_value "
+    "over an explicit unbounded frame (last_value under the DEFAULT "
+    "frame is a classic footgun - it returns the CURRENT row) plus "
+    "cume_dist. Ordering is made unique with the key tie-break so "
+    "every engine ranks identically; one month of orders per "
+    "priority keeps output bounded.",
+    tags=("window", "extension"),
+)
+def priority_price_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate").cast("date") >= F.lit("1997-03-01").cast("date"))
+        & (F.col("o_orderdate").cast("date") < F.lit("1997-04-01").cast("date"))
+    )
+    w_full = (
+        W.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    w_ord = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        F.first("o_orderkey").over(w_full).alias("cheapest_key"),
+        F.last("o_orderkey").over(w_full).alias("priciest_key"),
+        F.nth_value("o_orderkey", 2).over(w_full).alias("second_cheapest_key"),
+        F.cume_dist().over(w_ord).alias("price_cume_dist"),
+    ).orderBy("o_orderkey")

@@ -95,11 +95,13 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         dedup,
         graph,
+        merge,
         multimodal,
         profiling,
         relational,
         relational_ext,
         similarity,
+        sketches,
         temporal,
         text_analysis,
         validation,
