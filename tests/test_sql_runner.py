@@ -19,11 +19,12 @@ def test_registry_has_all_sql_files():
 
 @pytest.mark.parametrize("name", _names())
 def test_sql_file_matches_dataframe_twin(name, spark, sf_dir):
+    # key=repr: total order even when rows carry NULLs (grouping sets)
     sql_rows = sorted(
-        map(tuple, sql_runner.run_named(spark, name, sf_dir).collect())
+        map(tuple, sql_runner.run_named(spark, name, sf_dir).collect()), key=repr
     )
     twin = registry.all_queries()[name].fn(spark, sf_dir)
-    twin_rows = sorted(map(tuple, twin.collect()))
+    twin_rows = sorted(map(tuple, twin.collect()), key=repr)
     assert sql_rows == twin_rows
 
 
