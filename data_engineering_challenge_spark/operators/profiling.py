@@ -133,3 +133,46 @@ def column_stats_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         o,
         ("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"),
     )
+
+
+@register(
+    "totalprice_histogram",
+    oracle="""
+        WITH b AS (
+            SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx FROM orders
+        )
+        SELECT LEAST(9, CAST(FLOOR((o_totalprice - mn) / (mx - mn) * 10)
+                   AS INTEGER)) AS bucket,
+               mn + LEAST(9, CAST(FLOOR((o_totalprice - mn) / (mx - mn) * 10)
+                   AS INTEGER)) * ((mx - mn) / 10.0) AS bucket_lo,
+               COUNT(*) AS n_rows
+        FROM orders CROSS JOIN b
+        GROUP BY 1, 2
+        ORDER BY 1
+    """,
+    doc="Equi-width 10-bucket histogram of order totals - the "
+    "distribution-profiling primitive. One tiny bounds agg broadcast "
+    "back over the scan, integer bucket ids (deterministic: identical "
+    "IEEE expression on both engines), counts aggregated engine-side. "
+    "Two scans total regardless of data size; no driver-side values.",
+    tags=("profiling", "extension"),
+)
+def totalprice_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    bounds = o.agg(
+        F.min("o_totalprice").alias("mn"), F.max("o_totalprice").alias("mx")
+    )
+    bucket = F.least(
+        F.lit(9),
+        F.floor((F.col("o_totalprice") - F.col("mn")) / (F.col("mx") - F.col("mn")) * 10).cast("int"),
+    )
+    return (
+        o.crossJoin(F.broadcast(bounds))
+        .select(
+            bucket.alias("bucket"),
+            (F.col("mn") + bucket * ((F.col("mx") - F.col("mn")) / F.lit(10.0))).alias("bucket_lo"),
+        )
+        .groupBy("bucket", "bucket_lo")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .orderBy("bucket")
+    )

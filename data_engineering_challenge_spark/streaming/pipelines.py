@@ -215,3 +215,26 @@ def clicks_purchases_join_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_ts").cast("timestamp_ntz").alias("click_ts"),
         F.col("p_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
+
+
+def session_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the `events_session_window` batch query:
+    native session_window (30-min gap) with watermark-bounded state.
+
+    In production (append mode) a session finalizes — and its state is
+    evicted — once the watermark passes its close; state is therefore
+    O(open sessions), not O(history). The test drives it in complete
+    mode because a finite file source never advances the watermark
+    past the final events."""
+    e = _read_events_stream(spark, sf_dir)
+    return (
+        e.withWatermark("ts", WATERMARK)
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )

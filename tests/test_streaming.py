@@ -216,3 +216,25 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
     ).collect()))
     assert got == want
     assert len(got) > 0
+
+
+def test_streaming_session_window_matches_batch(spark, sf_dir):
+    from data_engineering_challenge_spark.operators.windows import (
+        events_session_window,
+    )
+    from data_engineering_challenge_spark.streaming.pipelines import (
+        session_counts_stream,
+    )
+
+    s = session_counts_stream(spark, sf_dir)
+    assert s.isStreaming
+    run_stream_to_memory(s, "session_out", mode="complete")
+    got = spark.sql("SELECT * FROM session_out")
+    want = events_session_window(spark, sf_dir)
+    ok, detail = compare(
+        got.columns,
+        [tuple(r) for r in got.collect()],
+        want.columns,
+        [tuple(r) for r in want.collect()],
+    )
+    assert ok, detail
