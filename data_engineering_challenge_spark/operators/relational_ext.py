@@ -336,3 +336,26 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "tx_per_store_salted",
+    oracle="""
+        SELECT l_suppkey,
+               COUNT(DISTINCT l_orderkey) AS n_distinct_l_orderkey
+        FROM lineitem
+        GROUP BY l_suppkey
+        ORDER BY l_suppkey
+    """,
+    doc="The A3 count-distinct re-planned through the skew-mitigation "
+    "path (operators/skew.py:salted_count_distinct): the distinct runs "
+    "on (group, salt-of-value), spreading any hot group over 8 "
+    "reducers, then per-salt partials sum. The oracle is the plain "
+    "COUNT(DISTINCT) - salting must be semantically invisible.",
+    tags=("agg", "skew", "extension"),
+)
+def tx_per_store_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .skew import salted_count_distinct
+
+    l = load_table(spark, sf_dir, "lineitem")
+    return salted_count_distinct(l, "l_suppkey", "l_orderkey").orderBy("l_suppkey")
