@@ -238,3 +238,72 @@ def session_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+def user_totals_tws_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals via transformWithStateInPandas — the
+    Spark 4 successor to applyInPandasWithState (same state-store
+    model, but typed state handles, timers decoupled from output, and
+    multiple state variables per key).
+
+    Functionally a twin of `user_totals_stream`; kept side by side so
+    the engine exercises BOTH stateful APIs. Requires the RocksDB
+    state-store provider (changelog-checkpointed, spillable state —
+    the 100-TB-stream configuration; the HDFS-backed heap store caps
+    state at executor memory).
+
+    Environment gate: the TWS state-server protocol speaks protobuf;
+    environments without the `protobuf` package cannot run it (the
+    worker crashes at StateMessage_pb2 import), so we fail fast with a
+    clear error instead. `user_totals_stream` (applyInPandasWithState)
+    covers the same semantics without that dependency."""
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(state-server protocol); use user_totals_stream here"
+        ) from exc
+
+    import pandas as pd  # local: executors import lazily
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class UserTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState("totals", "n bigint, tot double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            if self.totals.exists():
+                n, tot = self.totals.get()
+            else:
+                n, tot = 0, 0.0
+            for pdf in rows:
+                n += len(pdf)
+                tot += float(pdf["value"].sum())
+            self.totals.update((n, tot))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    e = _read_events_stream(spark, sf_dir)
+    return (
+        e.groupBy("user_id")
+        .transformWithStateInPandas(
+            UserTotals(),
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
