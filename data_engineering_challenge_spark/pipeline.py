@@ -1,0 +1,141 @@
+"""Declarative end-to-end pipeline runner: one config dict drives
+source → clean → validate → dedup → split → sink.
+
+The reference's orchestration is a hard-coded two-table loader
+(src/etl/ingest/data_loader.py + src/db/pipeline.py:264-309 — per-file
+options, ordered loads, stats dict). This generalizes it to the
+pipeline a training-data team actually runs, while staying declarative
+so every stage remains a Catalyst-planned DataFrame transform — the
+config picks WHAT runs; Spark still decides HOW.
+
+Config schema (all stages optional except source/sink):
+
+    {
+      "source":   {"format": "parquet"|"csv"|"synthetic", ...},
+      "clean":    {"table": "transactions"},        # schema registry key
+      "validate": {"table": "transactions",         # regex contracts
+                   "max_invalid_fraction": 0.05},   # fail gate
+      "dedup":    {"keys": ["col", ...]},           # exact, keyed
+      "split":    {"column": "split", "key": "id"}, # stable 8/1/1
+      "sink":     {"mode": "plain"|"partitioned"|"zorder",
+                   "path": ..., ...},
+    }
+
+Every stage reports into the returned stats dict (rows in/out, invalid
+counts, output files) — the reference's load-stats surface, widened.
+
+Scale notes: stages compose lazily; the only materializations are the
+stats counts the caller asked for. Exact dedup is a hash shuffle on
+the key columns; the split is a content-hash expression (no shuffle);
+sinks inherit the partitioned/Z-order write paths' properties.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import schemas
+from .operators.validation import invalid_row_mask, per_column_invalid_counts
+from .sinks.maintenance import write_zordered
+from .sinks.writers import write_partitioned_parquet
+from .sources.csv import ingest_csv_files
+from .sources.synthetic import SyntheticDocsDataSource
+
+_TABLES = {
+    "transactions": (schemas.TRANSACTIONS_SCHEMA, schemas.TRANSACTIONS_PATTERNS),
+    "products": (schemas.PRODUCT_SCHEMA, schemas.PRODUCT_PATTERNS),
+}
+
+
+def _read(spark: SparkSession, cfg: dict[str, Any]) -> DataFrame:
+    fmt = cfg["format"]
+    if fmt == "parquet":
+        return spark.read.parquet(cfg["path"])
+    if fmt == "csv":
+        schema, _ = _TABLES[cfg["table"]]
+        return ingest_csv_files(
+            spark,
+            cfg["paths"],
+            schema,
+            sep=cfg.get("sep", "|"),
+            add_surrogate_key=cfg.get("surrogate_key"),
+        )
+    if fmt == "synthetic":
+        spark.dataSource.register(SyntheticDocsDataSource)
+        reader = spark.read.format("synthetic_docs")
+        for k in ("n_docs", "n_partitions"):
+            if k in cfg:
+                reader = reader.option(k, cfg[k])
+        return reader.load()
+    raise ValueError(f"unknown source format: {fmt}")
+
+
+def _stable_split(df: DataFrame, key: str, out_col: str) -> DataFrame:
+    """Deterministic 8/1/1 train/val/test split by content hash of the
+    key column — engine- and partitioning-stable, unlike seeded
+    sample()."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(key).cast("string").cast("binary")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    split = F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
+    return df.withColumn(out_col, split)
+
+
+def run_pipeline(spark: SparkSession, config: dict[str, Any]) -> dict[str, Any]:
+    """Execute the configured pipeline; returns per-stage stats."""
+    stats: dict[str, Any] = {}
+    df = _read(spark, config["source"])
+    stats["rows_in"] = df.count()
+
+    v = config.get("validate")
+    if v:
+        _, patterns = _TABLES[v["table"]]
+        row = per_column_invalid_counts(df, patterns).collect()[0]
+        stats["invalid_counts"] = {
+            c.removesuffix("__invalid_count"): row[c] for c in row.asDict()
+        }
+        bad = df.filter(invalid_row_mask(patterns)).count()
+        stats["invalid_rows"] = bad
+        gate = v.get("max_invalid_fraction")
+        if gate is not None and stats["rows_in"] > 0:
+            frac = bad / stats["rows_in"]
+            stats["invalid_fraction"] = frac
+            if frac > gate:
+                raise ValueError(
+                    f"validation gate failed: {frac:.4f} invalid > {gate}"
+                )
+        if v.get("drop_invalid"):
+            df = df.filter(~invalid_row_mask(patterns))
+
+    d = config.get("dedup")
+    if d:
+        df = df.dropDuplicates(d["keys"])
+
+    s = config.get("split")
+    if s:
+        df = _stable_split(df, s["key"], s.get("column", "split"))
+
+    sink = config["sink"]
+    mode = sink.get("mode", "plain")
+    if mode == "partitioned":
+        write_partitioned_parquet(df, sink["path"], sink["partition_col"])
+    elif mode == "zorder":
+        write_zordered(df, sink["path"], sink["cols"], n_files=sink.get("n_files", 8))
+    elif mode == "plain":
+        df.write.mode("overwrite").parquet(sink["path"])
+    else:
+        raise ValueError(f"unknown sink mode: {mode}")
+
+    out = spark.read.parquet(sink["path"])
+    stats["rows_out"] = out.count()
+    if s:
+        stats["split_counts"] = {
+            r[s.get("column", "split")]: r["count"]
+            for r in out.groupBy(s.get("column", "split")).count().collect()
+        }
+    return stats

@@ -1,0 +1,67 @@
+"""Declarative pipeline runner: config-driven source→...→sink with
+per-stage stats."""
+
+from __future__ import annotations
+
+import pytest
+
+from data_engineering_challenge_spark.pipeline import run_pipeline
+
+
+def test_synthetic_to_zorder_pipeline(spark, tmp_path):
+    out = str(tmp_path / "docs")
+    stats = run_pipeline(
+        spark,
+        {
+            "source": {"format": "synthetic", "n_docs": 3000, "n_partitions": 8},
+            "dedup": {"keys": ["text"]},
+            "split": {"key": "doc_id", "column": "split"},
+            "sink": {"mode": "zorder", "path": out, "cols": ["doc_id", "n_chars"], "n_files": 4},
+        },
+    )
+    assert stats["rows_in"] == 3000
+    assert 0 < stats["rows_out"] <= 3000
+    sc = stats["split_counts"]
+    assert set(sc) == {"train", "val", "test"}
+    # 8/1/1 by content hash: train strictly dominates
+    assert sc["train"] > 5 * max(sc["val"], sc["test"])
+    back = spark.read.parquet(out)
+    assert back.count() == stats["rows_out"]
+    assert back.select("text").distinct().count() == stats["rows_out"]
+
+
+def test_parquet_passthrough_pipeline(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "orders")
+    stats = run_pipeline(
+        spark,
+        {
+            "source": {"format": "parquet", "path": f"{sf_dir}/orders.parquet"},
+            "sink": {"mode": "plain", "path": out},
+        },
+    )
+    assert stats["rows_in"] == stats["rows_out"] > 0
+
+
+def test_validation_gate_fails_closed(spark, tmp_path):
+    # transactions contracts against a frame that violates them:
+    # the gate must raise, not write garbage downstream
+    import pyspark.sql.functions as F
+
+    from data_engineering_challenge_spark import schemas
+    from data_engineering_challenge_spark.sources.csv import clean_to_schema
+
+    bad = spark.createDataFrame(
+        [("not-a-pdv", "TIDx", "2024-01-01")],
+        ["point_de_vente", "numero_transaction", "date_transaction"],
+    )
+    src = str(tmp_path / "bad_src")
+    clean_to_schema(bad, schemas.TRANSACTIONS_SCHEMA).write.parquet(src)
+    with pytest.raises(ValueError, match="validation gate"):
+        run_pipeline(
+            spark,
+            {
+                "source": {"format": "parquet", "path": src},
+                "validate": {"table": "transactions", "max_invalid_fraction": 0.0},
+                "sink": {"mode": "plain", "path": str(tmp_path / "out")},
+            },
+        )
