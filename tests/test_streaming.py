@@ -293,3 +293,25 @@ def test_tws_gate_raises_cleanly_without_protobuf(spark, sf_dir):
 
     with pytest.raises(NotImplementedError, match="protobuf"):
         user_totals_tws_stream(spark, sf_dir)
+
+
+def test_incremental_rollup_matches_batch(spark, sf_dir, tmp_path):
+    """The continuously-upserted rollup table must equal the one-shot
+    batch aggregation after the stream drains (and survive the
+    write-temp-then-replace swap)."""
+    from data_engineering_challenge_spark.operators.windows import events_hourly
+    from data_engineering_challenge_spark.streaming.rollup import (
+        run_incremental_rollup,
+    )
+
+    rollup = str(tmp_path / "rollup")
+    run_incremental_rollup(spark, sf_dir, rollup, str(tmp_path / "ckpt"))
+    got = spark.read.parquet(rollup)
+    want = events_hourly(spark, sf_dir)
+    ok, detail = compare(
+        got.columns,
+        [tuple(r) for r in got.collect()],
+        want.columns,
+        [tuple(r) for r in want.collect()],
+    )
+    assert ok, detail
