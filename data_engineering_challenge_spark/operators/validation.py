@@ -374,3 +374,36 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_value"))
         .orderBy("event_type", "prop_key")
     )
+
+
+@register(
+    "events_variant_extract",
+    oracle="""
+        SELECT event_type,
+               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+               COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+    doc="Spark 4 VARIANT path for semi-structured data: parse_json -> "
+    "VariantType -> typed variant_get extraction. Unlike per-query "
+    "get_json_object (re-parses the string for every path), a variant "
+    "column parses once into a binary-encoded form that any number of "
+    "downstream extractions share - the right at-rest representation "
+    "for 100-TB semi-structured columns.",
+    tags=("validation", "json", "variant"),
+)
+def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.count(k).alias("n_with_k"),
+        )
+        .orderBy("event_type")
+    )
