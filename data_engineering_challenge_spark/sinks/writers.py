@@ -76,3 +76,31 @@ def verify_rowcount(spark: SparkSession, df: DataFrame, path: str) -> tuple[int,
     src = df.count()
     written = spark.read.parquet(path).count()
     return src, written, src == written
+
+
+def write_with_stats(
+    df: DataFrame,
+    path: str,
+    sum_col: str | None = None,
+    mode: str = "overwrite",
+) -> dict:
+    """Write parquet and return load-reconciliation stats from the SAME
+    pass using an Observation (df.observe): row count (and optionally a
+    control sum) are accumulated task-side while the write runs.
+
+    This replaces the count-after-write reconciliation
+    (verify_rowcount, mirroring the reference's SELECT COUNT(*) after
+    COPY, src/db/pipeline.py:194-195) with a zero-extra-scan version —
+    at 100 TB a post-write count is a full re-read of everything just
+    written; observed metrics are free.
+    """
+    from pyspark.sql import Observation
+
+    metrics = [F.count(F.lit(1)).alias("rows_written")]
+    if sum_col is not None:
+        metrics.append(
+            F.sum(F.col(sum_col).cast("decimal(28,2)")).alias(f"sum_{sum_col}")
+        )
+    obs = Observation("load_stats")
+    df.observe(obs, *metrics).write.mode(mode).parquet(path)
+    return dict(obs.get)

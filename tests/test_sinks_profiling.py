@@ -72,3 +72,19 @@ def test_quick_column_stats_approx_mode(spark, sf_dir):
     }
     # HLL++ estimate within 10% of exact (the 100-TB default path)
     assert abs(approx["o_custkey"] - exact["o_custkey"]) / exact["o_custkey"] < 0.1
+
+
+def test_write_with_stats_observes_single_pass(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.catalog import load_table
+    from data_engineering_challenge_spark.sinks.writers import write_with_stats
+
+    o = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "obs")
+    stats = write_with_stats(o, out, sum_col="o_totalprice")
+    back = spark.read.parquet(out)
+    assert stats["rows_written"] == back.count()
+    assert float(stats["sum_o_totalprice"]) == float(
+        back.agg(F.sum(F.col("o_totalprice").cast("decimal(28,2)"))).first()[0]
+    )
