@@ -126,3 +126,40 @@ def ingest_csv_files(
             F.monotonically_increasing_id().alias(add_surrogate_key), "*"
         )
     return cleaned
+
+
+def read_csv_audited(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    sep: str = "|",
+    corrupt_col: str = "_corrupt_record",
+) -> tuple[DataFrame, DataFrame]:
+    """Typed CSV read with corrupt-row quarantine: returns
+    (clean_rows, quarantined_raw_lines).
+
+    The engine-side analogue of the reference's `ignore_errors=True`
+    scan (SURVEY §2.1 S2) that doesn't silently DROP bad rows: rows
+    that fail the schema (wrong arity, unparseable types) surface in
+    full as raw text in the quarantine frame, ready for the validation
+    layer to audit. PERMISSIVE + columnNameOfCorruptRecord is the
+    scalable path — parsing still happens executor-side in one pass;
+    the cache() works around Spark's restriction on queries that
+    filter the internal corrupt-record column.
+    """
+    full = T.StructType(
+        list(schema.fields) + [T.StructField(corrupt_col, T.StringType())]
+    )
+    df = (
+        spark.read.option("header", True)
+        .option("sep", sep)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", corrupt_col)
+        .schema(full)
+        .csv(path)
+    ).cache()
+    clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
+    quarantined = df.filter(F.col(corrupt_col).isNotNull()).select(
+        F.col(corrupt_col).alias("raw_line")
+    )
+    return clean, quarantined

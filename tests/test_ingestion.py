@@ -139,3 +139,31 @@ def test_excel_cleanup_bridge(spark):
     df = excel_frame_to_spark(spark, pdf)
     assert df.columns == ["code_modele_couleur_actuel", "signature_product"]
     assert df.count() == 3  # all-null row dropped
+
+
+def test_read_csv_audited_quarantines_corrupt_rows(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    from data_engineering_challenge_spark.sources.csv import read_csv_audited
+
+    p = tmp_path / "mixed.csv"
+    p.write_text(
+        "id|qty|name\n"
+        "1|10|ok-row\n"
+        "2|not-a-number|bad-type\n"
+        "3|30|ok-row-2\n"
+        "4|40|too|many|cols\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("qty", T.LongType()),
+            T.StructField("name", T.StringType()),
+        ]
+    )
+    clean, quarantined = read_csv_audited(spark, str(p), schema)
+    assert [r.id for r in clean.orderBy("id").collect()] == [1, 3]
+    bad = [r.raw_line for r in quarantined.collect()]
+    assert len(bad) == 2
+    assert any("not-a-number" in b for b in bad)
+    assert any("too|many|cols" in b for b in bad)
