@@ -104,3 +104,26 @@ def write_with_stats(
     obs = Observation("load_stats")
     df.observe(obs, *metrics).write.mode(mode).parquet(path)
     return dict(obs.get)
+
+
+def backfill_partitions(
+    df: DataFrame,
+    path: str,
+    date_col: str,
+) -> None:
+    """Partition-level backfill: rewrite ONLY the month partitions
+    present in `df`, leaving every other partition untouched.
+
+    Uses dynamic partition overwrite (partitionOverwriteMode=dynamic,
+    scoped to this write): the correction for one late-arriving or
+    recomputed month replaces exactly that month's files. The static
+    default would truncate the whole table first — at 100 TB the
+    difference between rewriting 1/120th of the data and all of it.
+    """
+    (
+        df.withColumn("part_month", F.date_format(F.col(date_col), "yyyy-MM"))
+        .write.option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite")
+        .partitionBy("part_month")
+        .parquet(path)
+    )

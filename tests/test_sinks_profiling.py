@@ -88,3 +88,60 @@ def test_write_with_stats_observes_single_pass(spark, sf_dir, tmp_path):
     assert float(stats["sum_o_totalprice"]) == float(
         back.agg(F.sum(F.col("o_totalprice").cast("decimal(28,2)"))).first()[0]
     )
+
+
+def test_backfill_touches_only_its_partitions(spark, sf_dir, tmp_path):
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.catalog import load_table
+    from data_engineering_challenge_spark.sinks.writers import (
+        backfill_partitions,
+        write_partitioned_parquet,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_orderdate").cast("date").alias("d")
+    )
+    path = str(tmp_path / "wh")
+    write_partitioned_parquet(o, path, date_col="d")
+    months = sorted(
+        p.split("=")[1] for p in glob.glob(f"{path}/part_month=*") for p in [p.rsplit("/", 1)[1]]
+    )
+    assert len(months) > 3
+    target = months[1]
+
+    # recompute one month with a visible change (price zeroed)
+    delta = o.filter(F.date_format("d", "yyyy-MM") == target).withColumn(
+        "o_totalprice", F.lit(0.0)
+    )
+    import os
+
+    before = {
+        m: os.path.getmtime(p)
+        for p in glob.glob(f"{path}/part_month=*")
+        for m in [p.rsplit("=", 1)[1]]
+    }
+    backfill_partitions(delta, path, date_col="d")
+
+    back = spark.read.parquet(path)
+    # the backfilled month changed...
+    assert (
+        back.filter(F.col("part_month") == target)
+        .agg(F.sum("o_totalprice"))
+        .first()[0]
+        == 0.0
+    )
+    # ...its row count is preserved...
+    assert back.filter(F.col("part_month") == target).count() == delta.count() > 0
+    # ...and every other partition's files were not rewritten
+    after = {
+        m: os.path.getmtime(p)
+        for p in glob.glob(f"{path}/part_month=*")
+        for m in [p.rsplit("=", 1)[1]]
+    }
+    untouched = [m for m in before if m != target]
+    assert untouched and all(before[m] == after[m] for m in untouched)
+    # total rows unchanged: backfill replaced, never appended
+    assert back.count() == o.count()
