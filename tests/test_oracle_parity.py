@@ -28,3 +28,22 @@ def test_query_matches_oracle(spec, spark, sf_dir, con):
     d_cols, d_rows = testing.run_oracle(con, spec.oracle)
     ok, detail = testing.compare(s_cols, s_rows, d_cols, d_rows)
     assert ok, f"{spec.name}: {detail}"
+
+
+def test_map_in_arrow_twin_matches_pandas_path(spark, sf_dir):
+    """The mapInArrow metadata extractor must agree row-for-row with
+    the mapInPandas path (same META_SCHEMA, same values)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.catalog import load_table
+    from data_engineering_challenge_spark.operators.multimodal import (
+        extract_payload_meta,
+        extract_payload_meta_arrow,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+    a = sorted(map(tuple, extract_payload_meta(d, "doc_id", "payload").collect()))
+    b = sorted(map(tuple, extract_payload_meta_arrow(d, "doc_id", "payload").collect()))
+    assert a == b and len(a) > 0
