@@ -37,8 +37,15 @@ PLANES_PER_BAND = 8
 DIM = 64
 COSINE_DUP_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal;
 # a production near-dup run sets ~0.95+, where sign-LSH recall is high
-N_CENTROIDS = 8  # IVF coarse cells; deterministic seeds stand in for KMeans
-N_PROBE = 2
+# IVF coarse cells: every CENT_STRIDE-th vector is a centroid seed — a
+# deterministic stand-in for trained KMeans that the oracle can replay.
+# Stride sampling matters: "first k ids" would draw every centroid from
+# whatever the first rows happen to be (in a clustered corpus, 1-2
+# clusters), collapsing the quantizer; a stride is an unbiased sample
+# of the corpus like KMeans random init. Cells scale with the corpus
+# (n/stride), keeping per-cell candidate lists roughly constant size.
+CENT_STRIDE = 23  # coprime with QUERY_MOD so queries aren't all centroids
+N_PROBE = 3
 
 _DOT_SQL = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
 
@@ -278,7 +285,7 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH e AS ({_CORPUS_SQL}),
         cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
-                  WHERE vec_id < {N_CENTROIDS}),
+                  WHERE vec_id % {CENT_STRIDE} = 0),
         scored_cells AS (
             SELECT e.vec_id, cent_id,
                    ROW_NUMBER() OVER (
@@ -316,10 +323,11 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE rnk <= {TOP_K}
         ORDER BY query_id, rnk
     """,
-    doc="IVF-style ANN: corpus assigned to the nearest of 8 coarse cells "
-    "(deterministic seed vectors vec_id < 8 stand in for trained KMeans "
-    "centroids so the oracle can replay the assignment); queries probe "
-    "their 2 best cells; exact cosine rerank within probed cells. Scale: "
+    doc="IVF-style ANN: corpus assigned to the nearest coarse cell; every "
+    "23rd vector seeds a centroid (unbiased stride sample standing in "
+    "for trained KMeans so the oracle can replay the assignment); "
+    "queries probe their 3 best cells; exact cosine rerank within "
+    "probed cells. Scale: "
     "centroids broadcast, assignment is one narrow scan, and "
     "cell-partitioned storage turns each query into a partition-pruned "
     "read of nprobe/ncells of the corpus.",
@@ -327,7 +335,7 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_with_norm(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") < N_CENTROIDS).select(
+    cents = e.filter(F.col("vec_id") % CENT_STRIDE == 0).select(
         F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
     )
     cw = W.partitionBy("vec_id").orderBy(

@@ -1,0 +1,72 @@
+"""Approximation-quality gates for the ANN paths: recall@k against the
+brute-force ground truth, measured on PLANTED clustered embeddings.
+
+The driver testdata's embeddings are near-orthogonal random vectors
+(true top-5 cosine ≈ 0.33 — barely above noise), where ANY bucketing
+LSH has near-zero recall by construction; that tells us nothing about
+the index. The meaningful gate plants tight clusters (within-cluster
+cosine ≈ 0.98, the near-dup regime these indexes exist for) and
+requires the approximate paths to recover the true neighbors. The
+query functions read `{sf_dir}/embeddings.parquet`, so the planted
+corpus is just a tmp sf_dir with that one table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from data_engineering_challenge_spark import registry
+
+_DIM = 64
+_CLUSTER = 5  # members per cluster; queries are vec_id % 50 == 0
+
+
+@pytest.fixture(scope="module")
+def planted_sf_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("planted_sf")
+    n = 200
+    vecs = []
+    for i in range(n):
+        center = np.random.RandomState(i // _CLUSTER).randn(_DIM)
+        noise = np.random.RandomState(10_000 + i).randn(_DIM)
+        v = center + 0.15 * noise
+        vecs.append((v / np.linalg.norm(v)).astype(np.float32))
+    table = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array([v.tolist() for v in vecs], type=pa.list_(pa.float32())),
+            "label": pa.array([i // _CLUSTER for i in range(n)], type=pa.int32()),
+        }
+    )
+    pq.write_table(table, str(root / "embeddings.parquet"))
+    return str(root)
+
+
+def _pairs(spark, sf_dir, name):
+    df = registry.all_queries()[name].fn(spark, sf_dir)
+    return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+
+def test_brute_force_finds_planted_clusters(spark, planted_sf_dir):
+    # sanity: ground truth top-5 must contain all 4 cluster siblings
+    truth = _pairs(spark, planted_sf_dir, "ann_topk")
+    for q in (0, 50, 100, 150):
+        siblings = {(q, m) for m in range(q, q + _CLUSTER) if m != q}
+        assert siblings <= truth, f"query {q}: siblings not in brute-force top-5"
+
+
+@pytest.mark.parametrize(
+    "approx_name,min_recall",
+    [
+        ("ann_lsh_topk", 0.6),  # 4 bands x 8 planes at cos≈0.98
+        ("ann_ivf_topk", 0.6),  # 8 cells, 2 probes
+    ],
+)
+def test_ann_recall_on_clustered_data(spark, planted_sf_dir, approx_name, min_recall):
+    truth = _pairs(spark, planted_sf_dir, "ann_topk")
+    approx = _pairs(spark, planted_sf_dir, approx_name)
+    assert truth
+    recall = len(truth & approx) / len(truth)
+    assert recall >= min_recall, f"{approx_name} recall@5 = {recall:.2f}"
