@@ -42,13 +42,20 @@ def normalize_null_tokens(col: Column, tokens: tuple[str, ...] = NULL_TOKENS) ->
     return F.when(col.isin(*tokens), F.lit(None)).otherwise(col)
 
 
+def _trim_ws(col: Column) -> Column:
+    """Strip leading/trailing ASCII whitespace (space, tab, CR, LF, FF,
+    VT). SQL TRIM strips only spaces — messy CSV values carry tabs and
+    form feeds too (hypothesis found '0\x0c' parsing to NULL)."""
+    return F.regexp_replace(col, r"^\s+|\s+$", "")
+
+
 def parse_decimal_comma(col: Column, dtype: str = "decimal(18,6)") -> Column:
     """European-decimal-aware numeric parse: '737,114' → 737.114.
 
     Regex-gated so US-format values pass through unchanged and garbage
     becomes NULL instead of a corrupt number (SURVEY.md §7.3).
     """
-    s = F.trim(col.cast("string"))
+    s = _trim_ws(col.cast("string"))
     eu = F.regexp_replace(s, ",", ".")
     return (
         F.when(s.rlike(RE_EU_NUMERIC), eu.cast(dtype))
@@ -60,7 +67,7 @@ def parse_decimal_comma(col: Column, dtype: str = "decimal(18,6)") -> Column:
 def parse_bool(col: Column) -> Column:
     """Lenient boolean parse ('' /0/1/true/false/..., reference
     schemas_regex.py:56, routing.py:39)."""
-    s = F.lower(F.trim(col.cast("string")))
+    s = F.lower(_trim_ws(col.cast("string")))
     return (
         F.when(s.isin("true", "t", "yes", "y", "1"), F.lit(True))
         .when(s.isin("false", "f", "no", "n", "0"), F.lit(False))

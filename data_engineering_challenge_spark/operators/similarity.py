@@ -42,8 +42,10 @@ COSINE_DUP_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal;
 # Stride sampling matters: "first k ids" would draw every centroid from
 # whatever the first rows happen to be (in a clustered corpus, 1-2
 # clusters), collapsing the quantizer; a stride is an unbiased sample
-# of the corpus like KMeans random init. Cells scale with the corpus
-# (n/stride), keeping per-cell candidate lists roughly constant size.
+# of the corpus like KMeans random init. n/stride cells keep per-cell
+# candidate lists constant-size, but assignment cost is n × cells — at
+# production scale swap in trained KMeans with ~sqrt(n) cells (the
+# assignment stays one broadcast-centroids scan either way).
 CENT_STRIDE = 23  # coprime with QUERY_MOD so queries aren't all centroids
 N_PROBE = 3
 
