@@ -76,4 +76,10 @@ def parse_bool(col: Column) -> Column:
 
 
 def parse_date(col: Column, fmt: str = "yyyy-MM-dd") -> Column:
-    return F.to_date(col.cast("string"), fmt)
+    """Date parse with the cleaning kit's garbage→NULL contract.
+
+    try_to_date, not to_date: under ANSI mode (Spark 4 default) a
+    plain to_date THROWS on the first malformed value — one bad row
+    killing a 100-TB load. Unparseable dates become NULL and flow to
+    the validation layer like every other contract violation."""
+    return F.try_to_date(_trim_ws(col.cast("string")), fmt)

@@ -153,3 +153,38 @@ def test_word_ngrams_matches_naive_python(spark, token_lists):
         for t in token_lists
     ]
     assert got == want
+
+
+@given(
+    values=st.lists(
+        st.one_of(
+            st.dates().map(str),
+            st.text(
+                alphabet=st.characters(codec="ascii", exclude_characters="\x00"),
+                max_size=12,
+            ),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**_SETTINGS)
+def test_garbage_dates_null_never_throw(spark, values):
+    """ANSI mode makes plain to_date throw on malformed input; the kit
+    must map garbage to NULL instead (and still parse valid dates)."""
+    import datetime
+    import re
+
+    from data_engineering_challenge_spark.functions.cleaning import parse_date
+
+    got = _roundtrip(spark, values, parse_date)
+    for v, g in zip(values, got):
+        s = v.strip()
+        if re.fullmatch(r"\d{4}-\d{2}-\d{2}", s):
+            try:
+                want = datetime.date.fromisoformat(s)
+            except ValueError:
+                want = None  # e.g. month 13 — shape ok, value invalid
+            assert g == want
+        else:
+            assert g is None
