@@ -87,9 +87,12 @@ def clean_to_schema(
         elif isinstance(dtype, T.BooleanType):
             expr = parse_bool(raw)
         elif isinstance(dtype, (T.LongType, T.IntegerType, T.DoubleType)):
-            expr = raw.cast(dtype)
+            # try_cast, not cast: ANSI mode (Spark 4 default) makes a
+            # plain cast throw on the first garbage value — the kit's
+            # contract is garbage → NULL, audited by the validation layer
+            expr = raw.try_cast(dtype)
         else:
-            expr = raw.cast(dtype)
+            expr = raw.try_cast(dtype)
         cols.append(expr.alias(name))
     return df.select(*cols)
 

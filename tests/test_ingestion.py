@@ -167,3 +167,36 @@ def test_read_csv_audited_quarantines_corrupt_rows(spark, tmp_path):
     assert len(bad) == 2
     assert any("not-a-number" in b for b in bad)
     assert any("too|many|cols" in b for b in bad)
+
+
+def test_clean_to_schema_garbage_never_throws_under_ansi(spark):
+    """ANSI casts abort on garbage; every typed lane of the cleaning
+    kit must map garbage to NULL instead (validation audits it)."""
+    from pyspark.sql import types as T
+
+    from data_engineering_challenge_spark.sources.csv import clean_to_schema
+
+    schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("x", T.DoubleType()),
+            T.StructField("d", T.DateType()),
+            T.StructField("m", T.DecimalType(18, 6)),
+            T.StructField("b", T.BooleanType()),
+        ]
+    )
+    raw = spark.createDataFrame(
+        [
+            ("12", "3.5", "2024-01-02", "7,25", "true"),
+            ("oops", "oops", "oops", "oops", "oops"),
+        ],
+        "n string, x string, d string, m string, b string",
+    )
+    rows = clean_to_schema(raw, schema).orderBy(F.desc("n")).collect()
+    import datetime
+    from decimal import Decimal
+
+    assert tuple(rows[0]) == (
+        12, 3.5, datetime.date(2024, 1, 2), Decimal("7.250000"), True,
+    )
+    assert tuple(rows[1]) == (None, None, None, None, None)
