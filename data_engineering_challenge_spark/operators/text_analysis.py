@@ -322,7 +322,9 @@ def stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         ), tf AS (
             SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2
         ), dfreq AS (
-            SELECT term, COUNT(DISTINCT doc_id) AS doc_freq FROM tok GROUP BY 1
+            -- doc_freq from tf, not a second pass over tok: tf already
+            -- has one row per (doc, term)
+            SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1
         ), n AS (
             SELECT COUNT(*) AS n_docs FROM documents
         )
@@ -341,8 +343,9 @@ def stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tf/df counts; the salience score is the linear-idf form "
     "tf * N / df (one double multiply+divide of exact integers - "
     "bit-deterministic across engines and partitionings, unlike log "
-    "idf whose libm rounding varies). Shape: explode -> two hash aggs "
-    "-> broadcast term-stats join -> per-doc top-k window.",
+    "idf whose libm rounding varies). Shape: ONE explode -> tf hash "
+    "agg -> doc_freq re-agg of tf (no second scan) -> broadcast "
+    "term-stats join -> per-doc top-k window.",
     tags=("text", "extension"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -351,7 +354,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("doc_freq"))
+    # doc_freq derives from tf (one row per (doc, term) already) — no
+    # second explosion/scan of documents; reuses tf's shuffle output
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(dfreq, "term")
