@@ -252,16 +252,17 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, sent_idx
     """,
     doc="Python UDTF (1 row → N sentence rows via LATERAL) — the "
-    "table-function surface. Row-at-a-time Python is deliberately the "
-    "slow path; multimodal_frames shows the Arrow-vectorized "
-    "equivalent for hot paths. Split is plain substring '. ' in both "
-    "engines.",
+    "table-function surface, Arrow-optimized (useArrow=True plans as "
+    "ArrowEvalPythonUDTF: batched columnar transfer instead of "
+    "row-at-a-time pickling; the plan-level no-BatchEvalPython gate "
+    "in tests/test_plans.py holds for every registered query). Split "
+    "is plain substring '. ' in both engines.",
     tags=("udf", "udtf", "text", "extension"),
 )
 def doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="doc_id bigint, sent_idx int, sentence string")
+    @udtf(returnType="doc_id bigint, sent_idx int, sentence string", useArrow=True)
     class SplitSentences:
         def eval(self, doc_id: int, text: str):
             for i, s in enumerate((text or "").split(". ")):

@@ -163,3 +163,35 @@ def test_outer_join_sides_preaggregated(spark, sf_dir):
     # the aggregates means the join line comes first
     join_at = plan.index("SortMergeJoin") if "SortMergeJoin" in plan else plan.index("ShuffledHashJoin")
     assert join_at < plan.index("HashAggregate")
+
+
+# Queries whose WHOLE POINT is an Arrow-batched Python stage
+_PYTHON_BY_DESIGN = {
+    "multimodal_meta",    # mapInPandas decode plumbing
+    "multimodal_frames",  # mapInPandas 1->N
+    "user_value_trend",   # applyInPandas grouped model
+    "doc_sentences",      # Python UDTF via LATERAL
+}
+_PY_MARKERS = (
+    "BatchEvalPython",  # row-at-a-time Python UDF — never acceptable
+    "ArrowEvalPython",
+    "MapInPandas",
+    "FlatMapGroupsInPandas",
+    "PythonUDTF",
+    "MapInArrow",
+)
+
+
+def test_no_query_smuggles_python_into_the_hot_path(spark, sf_dir):
+    """Every registered query must stay JVM-side (whole-stage codegen)
+    unless Python is its explicit purpose — and row-at-a-time
+    BatchEvalPython is banned everywhere."""
+    offenders = {}
+    for name, spec in sorted(registry.all_queries().items()):
+        plan = physical_plan(spec.fn(spark, sf_dir))
+        hits = [m for m in _PY_MARKERS if m in plan]
+        if name in _PYTHON_BY_DESIGN:
+            assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
+        elif hits:
+            offenders[name] = hits
+    assert not offenders, f"Python stages leaked into JVM-only queries: {offenders}"
