@@ -101,3 +101,47 @@ def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(_BOUND) * F.col("exact_distinct")
         ).alias("approx_ok"),
     ).orderBy("column_name")
+
+
+@register(
+    "approx_quantiles_check",
+    oracle="""
+        WITH s AS (
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS exact_q50,
+                   approx_quantile(l_quantity, 0.5) AS approx_q50,
+                   quantile_cont(l_quantity, 0.9) AS exact_q90,
+                   approx_quantile(l_quantity, 0.9) AS approx_q90,
+                   MAX(l_quantity) - MIN(l_quantity) AS rng
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, exact_q50, exact_q90,
+               abs(approx_q50 - exact_q50) <= 0.05 * rng AS q50_ok,
+               abs(approx_q90 - exact_q90) <= 0.05 * rng AS q90_ok
+        FROM s ORDER BY l_returnflag
+    """,
+    doc="Quantile sketches validated like the HLL check: exact "
+    "interpolated percentiles are hash-compared, and each engine "
+    "gates ITS OWN sketch estimate (Spark approx_percentile, DuckDB "
+    "approx_quantile - different sketch algorithms) within 5% of the "
+    "value range. The sketch is the only grouped-quantile path that "
+    "survives 100 TB: bounded memory, mergeable across partitions, "
+    "one pass - exact percentiles need a full sort per group.",
+    tags=("sketch", "percentile", "extension"),
+)
+def approx_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    s = l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", 0.5).alias("exact_q50"),
+        F.approx_percentile("l_quantity", 0.5, 10000).alias("approx_q50"),
+        F.percentile("l_quantity", 0.9).alias("exact_q90"),
+        F.approx_percentile("l_quantity", 0.9, 10000).alias("approx_q90"),
+        (F.max("l_quantity") - F.min("l_quantity")).alias("rng"),
+    )
+    return s.select(
+        "l_returnflag",
+        "exact_q50",
+        "exact_q90",
+        (F.abs(F.col("approx_q50") - F.col("exact_q50")) <= 0.05 * F.col("rng")).alias("q50_ok"),
+        (F.abs(F.col("approx_q90") - F.col("exact_q90")) <= 0.05 * F.col("rng")).alias("q90_ok"),
+    ).orderBy("l_returnflag")
