@@ -65,3 +65,27 @@ def test_validation_gate_fails_closed(spark, tmp_path):
                 "sink": {"mode": "plain", "path": str(tmp_path / "out")},
             },
         )
+
+
+def test_pipeline_cli_main(spark, tmp_path):
+    import json
+    import sys
+
+    sys.path.insert(0, "tools")
+    import pipeline as cli
+
+    cfg = {
+        "source": {"format": "synthetic", "n_docs": 300, "n_partitions": 4},
+        "sink": {"mode": "plain", "path": str(tmp_path / "out")},
+    }
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps(cfg))
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main([str(cfg_path)])
+    assert rc == 0
+    stats = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert stats["rows_in"] == stats["rows_out"] == 300

@@ -315,3 +315,19 @@ def test_incremental_rollup_matches_batch(spark, sf_dir, tmp_path):
         [tuple(r) for r in want.collect()],
     )
     assert ok, detail
+
+
+def test_incremental_rollup_restart_is_idempotent(spark, sf_dir, tmp_path):
+    """Re-running the rollup with the same checkpoint and no new data
+    must leave the table byte-for-byte identical (offsets committed;
+    per-key upsert replay-safe)."""
+    from data_engineering_challenge_spark.streaming.rollup import (
+        run_incremental_rollup,
+    )
+
+    rollup, ckpt = str(tmp_path / "rollup"), str(tmp_path / "ckpt")
+    run_incremental_rollup(spark, sf_dir, rollup, ckpt)
+    first = sorted(map(tuple, spark.read.parquet(rollup).collect()))
+    run_incremental_rollup(spark, sf_dir, rollup, ckpt)  # restart, no new data
+    second = sorted(map(tuple, spark.read.parquet(rollup).collect()))
+    assert first == second and len(first) > 0
