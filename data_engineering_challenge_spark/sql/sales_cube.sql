@@ -1,0 +1,9 @@
+-- CUBE with GROUPING flags. Twin of operators/relational.py:sales_cube.
+SELECT l_returnflag, l_linestatus,
+       grouping(l_returnflag) AS g_flag,
+       grouping(l_linestatus) AS g_status,
+       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY g_flag, g_status, l_returnflag, l_linestatus
