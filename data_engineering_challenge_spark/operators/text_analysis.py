@@ -374,3 +374,61 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "term", "tf", "doc_freq", "score")
         .orderBy("doc_id", "term")
     )
+
+
+@register(
+    "clean_corpus",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_NORM_SQL} AS norm,
+                   len({_TOK_SQL}) AS n_tokens,
+                   len(list_distinct({_TOK_SQL})) AS n_unique
+            FROM documents
+        ),
+        flagged AS (
+            SELECT doc_id, norm, n_tokens,
+                   (n_tokens BETWEEN 5 AND 500)
+                       AND n_unique / n_tokens > 0.2 AS quality_ok,
+                   MIN(doc_id) OVER (PARTITION BY md5(norm)) = doc_id
+                       AS is_canonical
+            FROM t
+        )
+        SELECT doc_id, n_tokens
+        FROM flagged
+        WHERE quality_ok AND is_canonical
+        ORDER BY doc_id
+    """,
+    doc="THE training-corpus cleaning chain as one query: quality gate "
+    "(length bounds + lexical diversity) AND exact-dedup "
+    "canonicalization (keep min doc_id per content fingerprint) in a "
+    "single pass - one scan, one fingerprint window shuffle, no "
+    "intermediate materialization. The composed form of doc_quality + "
+    "exact_dedup a pipeline actually ships.",
+    tags=("text", "dedup", "extension"),
+)
+def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    t = d.select(
+        "doc_id",
+        normalize_text(F.col("text")).alias("norm"),
+        F.size(tok).alias("n_tokens"),
+        F.size(F.array_distinct(tok)).alias("n_unique"),
+    )
+    quality_ok = F.col("n_tokens").between(5, 500) & (
+        F.col("n_unique") / F.col("n_tokens") > 0.2
+    )
+    canon = F.min("doc_id").over(Window.partitionBy(F.md5(F.col("norm").cast("binary"))))
+    return (
+        t.select(
+            "doc_id",
+            "n_tokens",
+            quality_ok.alias("quality_ok"),
+            (canon == F.col("doc_id")).alias("is_canonical"),
+        )
+        .filter(F.col("quality_ok") & F.col("is_canonical"))
+        .select("doc_id", "n_tokens")
+        .orderBy("doc_id")
+    )
