@@ -13,9 +13,31 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
+# Unicode whitespace for normalization: \s (ASCII) plus NBSP, ogham
+# mark, the U+2000 block, line/para separators, narrow NBSP, math
+# space, ideographic space. Java regex (Spark) and RE2 (DuckDB) treat
+# \s as ASCII-only, but DuckDB's trim() IS Unicode-aware — without an
+# explicit class the two engines disagree on e.g. '\xa0text\xa0'
+# (found by an adversarial-Unicode probe). One definition, two
+# dialect spellings, used by BOTH the Spark expression and the oracle
+# SQL so normalization is engine-identical by construction.
+_WS_JAVA = "[\\s\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000]+"
+_WS_RE2 = (
+    "[\\s\\x{00A0}\\x{1680}\\x{2000}-\\x{200A}"
+    "\\x{2028}\\x{2029}\\x{202F}\\x{205F}\\x{3000}]+"
+)
+
+# DuckDB twin of normalize_text(text) — import this wherever an oracle
+# needs the normalized form, never hand-write the expression.
+NORM_SQL = f"trim(regexp_replace(lower(text), '{_WS_RE2}', ' ', 'g'))"
+
+
 def normalize_text(col: Column) -> Column:
-    """lower → trim → collapse whitespace (reference F2/F3/F4)."""
-    return F.regexp_replace(F.trim(F.lower(col)), r"\s+", " ")
+    """lower → collapse Unicode whitespace runs to ' ' → trim
+    (reference F2/F3/F4, extended to Unicode whitespace; ends are
+    plain spaces after the collapse, so ASCII trim finishes the job
+    identically in both engines)."""
+    return F.trim(F.regexp_replace(F.lower(col), _WS_JAVA, " "))
 
 
 def tokens(col: Column) -> Column:

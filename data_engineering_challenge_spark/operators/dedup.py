@@ -37,7 +37,7 @@ from ..catalog import load_table
 from ..functions.text import normalize_text, tokens, word_ngrams
 from ..registry import register
 
-_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+from ..functions.text import NORM_SQL as _NORM_SQL  # noqa: E402 — oracle twin of normalize_text
 
 NUM_MINHASH = 16
 MINHASH_BANDS = 4  # 4 bands x 4 rows

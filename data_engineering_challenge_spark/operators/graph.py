@@ -27,7 +27,7 @@ from ..registry import register
 
 MAX_ITERATIONS = 50
 
-_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+from ..functions.text import NORM_SQL as _NORM_SQL  # noqa: E402 — oracle twin of normalize_text
 
 
 def connected_components(

@@ -37,7 +37,7 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it")
 
-_NORM_SQL = "regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')"
+from ..functions.text import NORM_SQL as _NORM_SQL  # noqa: E402 — oracle twin of normalize_text
 _TOK_SQL = f"string_split({_NORM_SQL}, ' ')"
 
 
