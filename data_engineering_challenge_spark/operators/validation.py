@@ -322,8 +322,8 @@ def value_format_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
-               COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_distinct_k
+               SUM(CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^-?\d+$') THEN json_extract_string(props, '$.k') END AS BIGINT)) AS sum_k,
+               COUNT(DISTINCT CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^-?\d+$') THEN json_extract_string(props, '$.k') END AS BIGINT)) AS n_distinct_k
         FROM events
         GROUP BY event_type
         ORDER BY event_type
@@ -334,7 +334,15 @@ def value_format_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    # try_cast + get_json_object: malformed JSON or a non-integral
+    # value ('1.5', nested object) must contribute NULL, never abort
+    # the job (ANSI casts throw) - mirrored by json_valid/TRY_CAST
+    # gates in the oracle
+    raw_k = F.get_json_object("props", "$.k")
+    # integral-only extraction: engines disagree on numeric-string
+    # casts (DuckDB rounds '1.5'->2 and parses '2e2'->200; Spark nulls
+    # both), so the defined semantics admit ^-?\d+$ only
+    k = F.when(raw_k.rlike(r"^-?\d+$"), raw_k.cast("long"))
     return (
         e.groupBy("event_type")
         .agg(
@@ -352,10 +360,13 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                u.key AS prop_key,
                COUNT(*) AS n,
-               SUM(CAST(json_extract_string(props, '$.' || u.key) AS BIGINT))
+               SUM(CAST(CASE WHEN regexp_matches(
+                       json_extract_string(props, '$.' || u.key), '^-?\d+$')
+                   THEN json_extract_string(props, '$.' || u.key) END AS BIGINT))
                    AS sum_value
         FROM (SELECT event_type, props, unnest(json_keys(props)) AS key
-              FROM events) u
+              FROM events
+              WHERE json_valid(props) AND json_type(props) = 'OBJECT') u
         GROUP BY event_type, prop_key
         ORDER BY event_type, prop_key
     """,
@@ -367,8 +378,13 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    m = F.from_json("props", "map<string,bigint>")
-    kv = e.select("event_type", F.explode(m).alias("prop_key", "v"))
+    # parse values as STRING first: a non-conforming value (nested
+    # object) must not null out the whole map, it just fails its own
+    # integral gate below - key occurrences stay countable
+    m = F.from_json("props", "map<string,string>")
+    kv = e.select("event_type", F.explode(m).alias("prop_key", "raw_v")).withColumn(
+        "v", F.when(F.col("raw_v").rlike(r"^-?\d+$"), F.col("raw_v").cast("long"))
+    )
     return (
         kv.groupBy("event_type", "prop_key")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("v").alias("sum_value"))
@@ -379,11 +395,17 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_variant_extract",
     oracle="""
+        WITH ext AS (
+            SELECT event_type,
+                   CASE WHEN json_valid(props)
+                        THEN json_extract_string(props, '$.k') END AS k_raw
+            FROM events
+        )
         SELECT event_type,
-               MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
-               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-               COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k
-        FROM events
+               MIN((CASE WHEN regexp_matches(k_raw, '^-?\d+$') THEN TRY_CAST(k_raw AS BIGINT) ELSE TRY_CAST(trunc(TRY_CAST(k_raw AS DOUBLE)) AS BIGINT) END)) AS min_k,
+               MAX((CASE WHEN regexp_matches(k_raw, '^-?\d+$') THEN TRY_CAST(k_raw AS BIGINT) ELSE TRY_CAST(trunc(TRY_CAST(k_raw AS DOUBLE)) AS BIGINT) END)) AS max_k,
+               COUNT((CASE WHEN regexp_matches(k_raw, '^-?\d+$') THEN TRY_CAST(k_raw AS BIGINT) ELSE TRY_CAST(trunc(TRY_CAST(k_raw AS DOUBLE)) AS BIGINT) END)) AS n_with_k
+        FROM ext
         GROUP BY event_type
         ORDER BY event_type
     """,
@@ -392,12 +414,17 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     "get_json_object (re-parses the string for every path), a variant "
     "column parses once into a binary-encoded form that any number of "
     "downstream extractions share - the right at-rest representation "
-    "for 100-TB semi-structured columns.",
+    "for 100-TB semi-structured columns. The oracle replays the "
+    "variant typed-get coercion observed from Spark: exact for "
+    "integral strings, truncate-toward-zero for other numerics, "
+    "NULL for non-numerics.",
     tags=("validation", "json", "variant"),
 )
 def events_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
-    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    # try_parse_json: parse_json THROWS on malformed input (ANSI) -
+    # a single bad payload must not kill a 100-TB scan
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
     return (
         e.groupBy("event_type")
         .agg(
