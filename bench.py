@@ -99,17 +99,34 @@ def main() -> None:
         assert n >= 0
     timings["csv_ingest"] = _csv_ingest_sec(spark, sf_dir)
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    # The driver captures only the tail of stdout (~2000 bytes); the full
+    # 73-query map overflowed it in round 1 (BENCH_r01 parsed: null). The
+    # printed line carries the headline + the 5 slowest queries (2-decimal)
+    # and stays well under the cap; the complete per-query map goes to a
+    # file next to the script.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json")
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    with open(full_path, "w") as fh:
+        json.dump(
+            {"metric": "suite_total_sec", "value": total, "unit": "sec",
+             "queries": timings, "sf": sf_val},
+            fh,
+            indent=2,
         )
+    top5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+    line = json.dumps(
+        {
+            "metric": "suite_total_sec",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 2) for k, v in top5.items()},
+            "n_queries": len(timings),
+            "full_timings": "BENCH_FULL.json",
+            "sf": sf_val,
+        }
     )
+    assert len(line) < 1900, f"bench line too long ({len(line)} bytes)"
+    print(line)
 
 
 if __name__ == "__main__":

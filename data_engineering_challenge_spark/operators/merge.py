@@ -76,7 +76,8 @@ def merge_upsert(target: DataFrame, source: DataFrame, keys: list[str]) -> DataF
                    COALESCE(s.price, t.price) AS price
             FROM target t FULL OUTER JOIN source s ON t.o_orderkey = s.o_orderkey
         )
-        SELECT o_orderstatus, COUNT(*) AS n_rows, SUM(price) AS total_price
+        SELECT o_orderstatus, COUNT(*) AS n_rows,
+               CAST(SUM(price) AS DOUBLE) AS total_price
         FROM merged GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     doc="MERGE/upsert exercised end-to-end: a deterministic delta "
@@ -103,7 +104,7 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         merged.groupBy("o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.sum("price").alias("total_price"),
+            F.sum("price").cast("double").alias("total_price"),
         )
         .orderBy("o_orderstatus")
     )

@@ -116,7 +116,9 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     "column_stats_orders",
     oracle=" UNION ALL ".join(
         f"SELECT '{c}' AS column_name, "
-        f"SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls, "
+        # CAST: DuckDB SUM(INTEGER) yields HUGEINT (int128) which the
+        # driver's serialization can't hash; Spark's SUM(int) is bigint
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
         f"COUNT(DISTINCT {c}) AS n_distinct FROM orders"
         for c in sorted(
             ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority"]

@@ -22,6 +22,12 @@ Scale notes (100 TB posture):
 - Money/quantity doubles are cast to DECIMAL *before* SUM: decimal
   addition is exact and order-independent, so results are identical
   regardless of partitioning — and identical to the DuckDB oracle.
+- Decimal stays INTERNAL: every final projection casts the exact
+  decimal aggregate to double on both engines. At gate scale the
+  unscaled sums are < 2^53, so the decimal→double conversion is the
+  same exact IEEE value on both sides; emitting DecimalType would
+  instead expose engine-specific scale/trailing-zero rendering to
+  the driver's hash (the round-1 failure class).
 - Top-k is ORDER BY + LIMIT, which Catalyst plans as
   TakeOrderedAndProject (per-partition top-k then merge on driver) —
   no global sort at any scale.
@@ -42,7 +48,7 @@ DEC = "decimal(18,2)"  # exact money math; Postgres NUMERIC analogue (SURVEY §1
     "revenue_per_day",
     oracle="""
         SELECT CAST(o_orderdate AS DATE) AS order_date,
-               SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_revenue
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
         FROM orders
         GROUP BY 1
         ORDER BY 1
@@ -54,7 +60,7 @@ def revenue_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return (
         o.groupBy(F.col("o_orderdate").cast("date").alias("order_date"))
-        .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("total_revenue"))
+        .agg(F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("total_revenue"))
         .orderBy("order_date")
     )
 
@@ -63,7 +69,7 @@ def revenue_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top10_units",
     oracle="""
         SELECT l_partkey,
-               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_units_sold
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_units_sold
         FROM lineitem
         GROUP BY l_partkey
         ORDER BY total_units_sold DESC, l_partkey
@@ -77,7 +83,7 @@ def top10_units(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
     return (
         l.groupBy("l_partkey")
-        .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("total_units_sold"))
+        .agg(F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("total_units_sold"))
         .orderBy(F.desc("total_units_sold"), F.asc("l_partkey"))
         .limit(10)
     )
@@ -150,7 +156,8 @@ def _promo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(m + INTERVAL 1 MONTH AS DATE) AS end_d
             FROM anchor
         )
-        SELECT COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS total_margin
+        SELECT CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+                   AS total_margin
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         JOIN month_window ON TRUE
@@ -176,9 +183,9 @@ def margin_signature_2months(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bounds))
         .filter((d >= F.col("start_d")) & (d < F.col("end_d")))
         .agg(
-            F.coalesce(F.sum(F.col("l_extendedprice").cast(DEC)), F.lit(0).cast(DEC)).alias(
-                "total_margin"
-            )
+            F.coalesce(F.sum(F.col("l_extendedprice").cast(DEC)), F.lit(0).cast(DEC))
+            .cast("double")
+            .alias("total_margin")
         )
     )
 
@@ -186,7 +193,8 @@ def margin_signature_2months(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "margin_signature_60days",
     oracle="""
-        SELECT COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS total_margin
+        SELECT CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 0) AS DOUBLE)
+                   AS total_margin
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         WHERE p_type = 'PROMO'
@@ -209,9 +217,9 @@ def margin_signature_60days(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(bounds))
         .filter(d.between(F.col("start_d"), F.col("end_d")))
         .agg(
-            F.coalesce(F.sum(F.col("l_extendedprice").cast(DEC)), F.lit(0).cast(DEC)).alias(
-                "total_margin"
-            )
+            F.coalesce(F.sum(F.col("l_extendedprice").cast(DEC)), F.lit(0).cast(DEC))
+            .cast("double")
+            .alias("total_margin")
         )
     )
 
@@ -245,13 +253,13 @@ def dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT l_returnflag,
                l_linestatus,
-               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS sum_disc_price,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                    * (1 - CAST(l_discount AS DECIMAL(3,2)))
-                   * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS sum_charge,
+                   * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
                COUNT(*) AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -272,10 +280,10 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
-            F.sum(ep).alias("sum_base_price"),
-            F.sum(disc_price).alias("sum_disc_price"),
-            F.sum(charge).alias("sum_charge"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
+            F.sum(ep).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -288,7 +296,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag, l_linestatus,
                GROUPING(l_returnflag) AS g_flag,
                GROUPING(l_linestatus) AS g_status,
-               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY CUBE (l_returnflag, l_linestatus)
@@ -306,7 +314,7 @@ def sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping("l_returnflag").alias("g_flag"),
             F.grouping("l_linestatus").alias("g_status"),
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
@@ -359,8 +367,8 @@ def supplier_shipments_lost_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shipping_priority_top10",
     oracle="""
         SELECT l_orderkey,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue,
                CAST(o_orderdate AS DATE) AS order_date
         FROM customer
         JOIN orders ON c_custkey = o_custkey
@@ -393,7 +401,7 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "order_date")
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
@@ -404,8 +412,8 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "local_supplier_volume",
     oracle="""
         SELECT n_name,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS revenue
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS revenue
         FROM region
         JOIN nation ON n_regionkey = r_regionkey
         JOIN customer ON c_nationkey = n_nationkey
@@ -451,7 +459,7 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
         )
         .groupBy("n_name")
-        .agg(F.sum(rev).alias("revenue"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
 

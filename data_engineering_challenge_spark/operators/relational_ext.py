@@ -91,7 +91,8 @@ def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM supplier WHERE s_nationkey < 10 GROUP BY 1
         )
         SELECT CAST(COALESCE(cust.nationkey, supp.nationkey) AS INTEGER) AS nationkey,
-               cust_bal, n_cust, supp_bal, n_supp
+               CAST(cust_bal AS DOUBLE) AS cust_bal, n_cust,
+               CAST(supp_bal AS DOUBLE) AS supp_bal, n_supp
         FROM cust FULL OUTER JOIN supp ON cust.nationkey = supp.nationkey
         ORDER BY nationkey
     """,
@@ -115,9 +116,9 @@ def nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         cust.join(supp, cust.c_nk == supp.s_nk, "full_outer")
         .select(
             F.coalesce("c_nk", "s_nk").cast("int").alias("nationkey"),
-            "cust_bal",
+            F.col("cust_bal").cast("double").alias("cust_bal"),
             "n_cust",
-            "supp_bal",
+            F.col("supp_bal").cast("double").alias("supp_bal"),
             "n_supp",
         )
         .orderBy("nationkey")
@@ -189,7 +190,7 @@ def order_measures_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT r_name, n_name,
                CAST(GROUPING(r_name) AS INTEGER) AS g_region,
                CAST(GROUPING(n_name) AS INTEGER) AS g_nation,
-               SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
                COUNT(*) AS n_customers
         FROM customer
         JOIN nation ON c_nationkey = n_nationkey
@@ -217,7 +218,7 @@ def acctbal_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.grouping("r_name").cast("int").alias("g_region"),
             F.grouping("n_name").cast("int").alias("g_nation"),
-            F.sum(F.col("c_acctbal").cast(DEC)).alias("total_bal"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
             F.count(F.lit(1)).alias("n_customers"),
         )
         .select("r_name", "n_name", "g_region", "g_nation", "total_bal", "n_customers")
@@ -228,7 +229,8 @@ def acctbal_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "small_parts_revenue",
     oracle="""
-        SELECT SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS below_avg_revenue,
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS below_avg_revenue,
                COUNT(*) AS n_lines
         FROM lineitem l1
         JOIN (
@@ -255,7 +257,7 @@ def small_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(per_part, l.l_partkey == per_part.pk)
         .filter(qty * F.lit(5) * F.col("cnt") < F.col("sum_qty"))
         .agg(
-            F.sum(F.col("l_extendedprice").cast(DEC)).alias("below_avg_revenue"),
+            F.sum(F.col("l_extendedprice").cast(DEC)).cast("double").alias("below_avg_revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -292,12 +294,12 @@ def orders_with_discounted_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "promo_revenue_share",
     oracle="""
-        SELECT COALESCE(SUM(CASE WHEN p_type LIKE 'PROMO%'
+        SELECT CAST(COALESCE(SUM(CASE WHEN p_type LIKE 'PROMO%'
                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
                         * (1 - CAST(l_discount AS DECIMAL(3,2))) END),
-                   0) AS promo_revenue,
-               SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS total_revenue,
+                   0) AS DOUBLE) AS promo_revenue,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS total_revenue,
                100.0 * CAST(COALESCE(SUM(CASE WHEN p_type LIKE 'PROMO%'
                    THEN CAST(l_extendedprice AS DECIMAL(18,2))
                         * (1 - CAST(l_discount AS DECIMAL(3,2))) END), 0) AS DOUBLE)
@@ -329,8 +331,8 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
         .agg(
-            promo.alias("promo_revenue"),
-            total.alias("total_revenue"),
+            promo.cast("double").alias("promo_revenue"),
+            total.cast("double").alias("total_revenue"),
             (F.lit(100.0) * promo.cast("double") / total.cast("double")).alias(
                 "promo_share_pct"
             ),

@@ -167,8 +167,10 @@ def _duck_invalid(col: str, pat: str) -> str:
 @register(
     "contract_violations",
     oracle=f"""
-        SELECT SUM({_duck_invalid('o_orderstatus', '^[OF]$')}) AS o_orderstatus__invalid_count,
-               SUM({_duck_invalid('o_orderpriority', '^[0-9]-[A-Z]+$')}) AS o_orderpriority__invalid_count
+        SELECT CAST(SUM({_duck_invalid('o_orderstatus', '^[OF]$')}) AS BIGINT)
+                   AS o_orderstatus__invalid_count,
+               CAST(SUM({_duck_invalid('o_orderpriority', '^[0-9]-[A-Z]+$')}) AS BIGINT)
+                   AS o_orderpriority__invalid_count
         FROM orders
     """,
     doc="Per-column regex-contract violation counts over orders "
@@ -322,7 +324,7 @@ def value_format_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^-?\d+$') THEN json_extract_string(props, '$.k') END AS BIGINT)) AS sum_k,
+               CAST(SUM(CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^-?\d+$') THEN json_extract_string(props, '$.k') END AS BIGINT)) AS BIGINT) AS sum_k,
                COUNT(DISTINCT CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^-?\d+$') THEN json_extract_string(props, '$.k') END AS BIGINT)) AS n_distinct_k
         FROM events
         GROUP BY event_type
@@ -360,9 +362,9 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type,
                u.key AS prop_key,
                COUNT(*) AS n,
-               SUM(CAST(CASE WHEN regexp_matches(
+               CAST(SUM(CAST(CASE WHEN regexp_matches(
                        json_extract_string(props, '$.' || u.key), '^-?\d+$')
-                   THEN json_extract_string(props, '$.' || u.key) END AS BIGINT))
+                   THEN json_extract_string(props, '$.' || u.key) END AS BIGINT)) AS BIGINT)
                    AS sum_value
         FROM (SELECT event_type, props, unnest(json_keys(props)) AS key
               FROM events

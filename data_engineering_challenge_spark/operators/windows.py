@@ -45,7 +45,7 @@ DEC = "decimal(18,2)"
                    ) AS rn
             FROM agg
         )
-        SELECT l_suppkey, l_partkey, units, rn
+        SELECT l_suppkey, l_partkey, CAST(units AS DOUBLE) AS units, rn
         FROM ranked
         WHERE rn <= 3
         ORDER BY l_suppkey, rn
@@ -63,6 +63,8 @@ def top3_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         agg.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
+        # rank on the exact decimal; emit double at the boundary
+        .withColumn("units", F.col("units").cast("double"))
         .orderBy("l_suppkey", "rn")
     )
 
@@ -76,11 +78,11 @@ def top3_parts_per_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders
             GROUP BY 1
         )
-        SELECT order_date, day_revenue,
-               SUM(day_revenue) OVER (
+        SELECT order_date, CAST(day_revenue AS DOUBLE) AS day_revenue,
+               CAST(SUM(day_revenue) OVER (
                    ORDER BY order_date
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS running_revenue
+               ) AS DOUBLE) AS running_revenue
         FROM daily
         ORDER BY order_date
     """,
@@ -94,8 +96,10 @@ def revenue_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("o_totalprice").cast(DEC)).alias("day_revenue")
     )
     w = W.orderBy("order_date").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return daily.withColumn("running_revenue", F.sum("day_revenue").over(w)).orderBy(
-        "order_date"
+    return (
+        daily.withColumn("running_revenue", F.sum("day_revenue").over(w).cast("double"))
+        .withColumn("day_revenue", F.col("day_revenue").cast("double"))
+        .orderBy("order_date")
     )
 
 
@@ -162,7 +166,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
                event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1, 2
         ORDER BY 1, 2
@@ -177,7 +181,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -201,7 +205,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT window_start, event_type,
                COUNT(*) AS n_events,
-               SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         FROM starts
         GROUP BY 1, 2
         ORDER BY 1, 2
@@ -217,7 +221,7 @@ def events_sliding_1h30m(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_value")
         .orderBy("window_start", "event_type")
@@ -276,7 +280,7 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sales_rollup",
     oracle="""
         SELECT l_returnflag, l_linestatus,
-               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                COUNT(*) AS n_rows
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -290,7 +294,7 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(F.col("l_quantity").cast(DEC)).alias("sum_qty"),
+            F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
             F.count(F.lit(1)).alias("n_rows"),
         )
         .orderBy(
@@ -309,10 +313,10 @@ def sales_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM orders
             GROUP BY 1
         )
-        SELECT order_date, revenue,
-               LAG(revenue) OVER w AS prev_revenue,
-               LEAD(revenue) OVER w AS next_revenue,
-               revenue - LAG(revenue) OVER w AS delta,
+        SELECT order_date, CAST(revenue AS DOUBLE) AS revenue,
+               CAST(LAG(revenue) OVER w AS DOUBLE) AS prev_revenue,
+               CAST(LEAD(revenue) OVER w AS DOUBLE) AS next_revenue,
+               CAST(revenue - LAG(revenue) OVER w AS DOUBLE) AS delta,
                NTILE(4) OVER (ORDER BY revenue, order_date) AS revenue_quartile,
                ROUND(PERCENT_RANK() OVER (ORDER BY revenue, order_date), 12)
                    AS revenue_pct_rank,
@@ -344,10 +348,11 @@ def daily_revenue_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     ma = W.orderBy("order_date").rowsBetween(-6, 0)
     return daily.select(
         "order_date",
-        "revenue",
-        F.lag("revenue").over(w).alias("prev_revenue"),
-        F.lead("revenue").over(w).alias("next_revenue"),
-        (F.col("revenue") - F.lag("revenue").over(w)).alias("delta"),
+        F.col("revenue").cast("double").alias("revenue"),
+        F.lag("revenue").over(w).cast("double").alias("prev_revenue"),
+        F.lead("revenue").over(w).cast("double").alias("next_revenue"),
+        # difference in exact decimal space, double only at the boundary
+        (F.col("revenue") - F.lag("revenue").over(w)).cast("double").alias("delta"),
         F.ntile(4).over(wr).alias("revenue_quartile"),
         F.round(F.percent_rank().over(wr), 12).alias("revenue_pct_rank"),
         # exact decimal SUM / COUNT instead of AVG: decimal-average
@@ -363,7 +368,7 @@ def daily_revenue_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT hour(ts) AS hour_of_day,
                COUNT(*) AS n_events,
-               SUM(CAST(value AS DECIMAL(18,4))) AS total_value
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
         FROM events
         GROUP BY 1
         ORDER BY 1
@@ -379,7 +384,7 @@ def events_by_hour_of_day(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.groupBy(F.hour("ts").alias("hour_of_day"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
         )
         .orderBy("hour_of_day")
     )

@@ -3,7 +3,7 @@
 SELECT r_name, n_name,
        CAST(grouping(r_name) AS INT) AS g_region,
        CAST(grouping(n_name) AS INT) AS g_nation,
-       SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_bal,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal,
        COUNT(*) AS n_customers
 FROM customer
 JOIN nation ON c_nationkey = n_nationkey

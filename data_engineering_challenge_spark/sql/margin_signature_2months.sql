@@ -6,8 +6,8 @@ WITH anchor AS (
 month_window AS (
     SELECT add_months(m, -1) AS start_d, add_months(m, 1) AS end_d FROM anchor
 )
-SELECT COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))),
-                CAST(0 AS DECIMAL(18,2))) AS total_margin
+SELECT CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))),
+                CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_margin
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 CROSS JOIN month_window

@@ -1,7 +1,7 @@
 -- Total margin, signature products, rolling 60 days — scalar-subquery bounds
 -- (reference src/sql/queries/total_margin_signature_last_2_months_in_days.sql:1-11)
-SELECT COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))),
-                CAST(0 AS DECIMAL(18,2))) AS total_margin
+SELECT CAST(COALESCE(SUM(CAST(l_extendedprice AS DECIMAL(18,2))),
+                CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS total_margin
 FROM lineitem
 JOIN part ON p_partkey = l_partkey
 WHERE p_type = 'PROMO'

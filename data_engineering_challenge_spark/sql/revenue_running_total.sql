@@ -5,10 +5,10 @@ WITH daily AS (
            SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS day_revenue
     FROM orders GROUP BY 1
 )
-SELECT order_date, day_revenue,
-       SUM(day_revenue) OVER (
+SELECT order_date, CAST(day_revenue AS DOUBLE) AS day_revenue,
+       CAST(SUM(day_revenue) OVER (
            ORDER BY order_date
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-       ) AS running_revenue
+       ) AS DOUBLE) AS running_revenue
 FROM daily
 ORDER BY order_date

@@ -2,7 +2,7 @@
 SELECT l_returnflag, l_linestatus,
        grouping(l_returnflag) AS g_flag,
        grouping(l_linestatus) AS g_status,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
        COUNT(*) AS n_rows
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)

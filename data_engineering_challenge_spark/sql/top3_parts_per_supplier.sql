@@ -14,6 +14,6 @@ ranked AS (
            ) AS rn
     FROM agg
 )
-SELECT l_suppkey, l_partkey, units, rn
+SELECT l_suppkey, l_partkey, CAST(units AS DOUBLE) AS units, rn
 FROM ranked WHERE rn <= 3
 ORDER BY l_suppkey, rn

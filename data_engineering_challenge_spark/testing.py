@@ -4,6 +4,20 @@ Mirrors the driver's t2 gate: for each registered query, run the Spark
 implementation and the DuckDB oracle on the same parquet tables, then
 compare row count, column-name set, and an order-insensitive value
 fingerprint (columns sorted by name, normalized cells, sorted rows).
+
+Two comparison modes:
+
+- **strict** (default everywhere since round 2): floats compare by
+  exact shortest ``repr`` — the driver hashes exact values, so a
+  1-ulp engine divergence must FAIL locally too. Values the driver's
+  serialization can't hash faithfully (``Decimal``, ints outside
+  int64 — DuckDB HUGEINT) raise :class:`DriverUnsafeValue`: registered
+  queries must cast such columns to double/BIGINT at the projection
+  boundary (round 1 shipped 9 hash failures because the lenient local
+  gate rounded them away; VERDICT.md round 1 §What's wrong).
+- **lenient** (``strict=False``): the round-1 behavior (floats and
+  decimals rounded to 9 digits) — kept only for debugging whether a
+  mismatch is representational or real.
 """
 
 from __future__ import annotations
@@ -17,8 +31,15 @@ import duckdb
 
 from .catalog import TABLES
 
+_INT64_MIN, _INT64_MAX = -(2**63), 2**63 - 1
 
-def _norm(v: object) -> str:
+
+class DriverUnsafeValue(TypeError):
+    """A query/oracle emitted a value the driver cannot hash faithfully
+    (Decimal, int128). Fix the query's final projection, not the gate."""
+
+
+def _norm(v: object, strict: bool = True) -> str:
     if v is None:
         return "<null>"
     if isinstance(v, bool):
@@ -26,25 +47,34 @@ def _norm(v: object) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return repr(round(v, 9))
+        return repr(v) if strict else repr(round(v, 9))
     if isinstance(v, decimal.Decimal):
+        if strict:
+            raise DriverUnsafeValue(
+                f"Decimal output {v!r}: cast the final projection to DOUBLE "
+                "in both the Spark query and its oracle"
+            )
         return repr(float(v).__round__(9))
+    if isinstance(v, int) and strict and not (_INT64_MIN <= v <= _INT64_MAX):
+        raise DriverUnsafeValue(
+            f"int out of int64 range {v!r} (DuckDB HUGEINT): CAST(... AS BIGINT) in the oracle"
+        )
     if isinstance(v, datetime.datetime):
         return v.strftime("%Y-%m-%d %H:%M:%S.%f")
     if isinstance(v, datetime.date):
         return v.strftime("%Y-%m-%d")
     if isinstance(v, (list, tuple)):
-        return "[" + ",".join(_norm(x) for x in v) + "]"
+        return "[" + ",".join(_norm(x, strict) for x in v) + "]"
     return str(v)
 
 
-def normalized_rows(cols: list[str], rows: list[tuple]) -> list[str]:
+def normalized_rows(cols: list[str], rows: list[tuple], strict: bool = True) -> list[str]:
     order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+    return sorted("|".join(_norm(r[i], strict) for i in order) for r in rows)
 
 
-def fingerprint(cols: list[str], rows: list[tuple]) -> tuple[int, str]:
-    lines = normalized_rows(cols, rows)
+def fingerprint(cols: list[str], rows: list[tuple], strict: bool = True) -> tuple[int, str]:
+    lines = normalized_rows(cols, rows, strict)
     return len(rows), hashlib.sha256("\n".join(lines).encode()).hexdigest()[:16]
 
 
@@ -61,18 +91,32 @@ def run_oracle(con: duckdb.DuckDBPyConnection, sql: str) -> tuple[list[str], lis
     return cols, res.fetchall()
 
 
+def oracle_output_types(con: duckdb.DuckDBPyConnection, sql: str) -> list[tuple[str, str]]:
+    """(column, duckdb type) for an oracle query — bind-only, no execution."""
+    rel = con.sql(sql)
+    return list(zip(rel.columns, [str(t) for t in rel.types]))
+
+
 def compare(
     s_cols: list[str],
     s_rows: list[tuple],
     d_cols: list[str],
     d_rows: list[tuple],
+    strict: bool = True,
 ) -> tuple[bool, str]:
     """Return (match, detail-on-mismatch)."""
     if sorted(s_cols) != sorted(d_cols):
         return False, f"columns differ: spark={sorted(s_cols)} duck={sorted(d_cols)}"
     if len(s_rows) != len(d_rows):
         return False, f"row counts differ: spark={len(s_rows)} duck={len(d_rows)}"
-    ss, dd = normalized_rows(s_cols, s_rows), normalized_rows(d_cols, d_rows)
+    try:
+        ss = normalized_rows(s_cols, s_rows, strict)
+    except DriverUnsafeValue as e:
+        return False, f"spark output driver-unsafe: {e}"
+    try:
+        dd = normalized_rows(d_cols, d_rows, strict)
+    except DriverUnsafeValue as e:
+        return False, f"oracle output driver-unsafe: {e}"
     for a, b in zip(ss, dd):
         if a != b:
             return False, f"first differing row:\n  spark: {a}\n  duck : {b}"

@@ -1,6 +1,11 @@
 """Local mirror of the driver's DuckDB-oracle correctness gate.
 
-    PYTHONPATH=/root/repo python tools/check_oracle.py [sf_dir] [query ...]
+    PYTHONPATH=/root/repo python tools/check_oracle.py [--lenient] [sf_dir] [query ...]
+
+Strict (driver-faithful) by default: exact float repr, and Decimal /
+HUGEINT outputs are hard failures. ``--lenient`` restores the round-1
+9-digit rounding, useful only to tell representational mismatches from
+real value divergence.
 """
 
 from __future__ import annotations
@@ -16,8 +21,10 @@ from data_engineering_challenge_spark.session import get_session
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--lenient"]
+    strict = "--lenient" not in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
     spark = get_session("check_oracle")
     con = testing.duckdb_con(sf_dir)
     failures = []
@@ -31,7 +38,7 @@ def main() -> int:
             print(f"  {name:32s} rows={len(s_rows):<8d} (rows-only, {time.time() - t0:.1f}s)")
             continue
         d_cols, d_rows = testing.run_oracle(con, spec.oracle)
-        ok, detail = testing.compare(s_cols, s_rows, d_cols, d_rows)
+        ok, detail = testing.compare(s_cols, s_rows, d_cols, d_rows, strict=strict)
         print(f"  {name:32s} {'OK ' if ok else 'FAIL'} rows={len(s_rows)} ({time.time() - t0:.1f}s)")
         if not ok:
             failures.append(name)
