@@ -29,7 +29,7 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -41,6 +41,18 @@ from ..functions.text import NORM_SQL as _NORM_SQL  # noqa: E402 — oracle twin
 
 NUM_MINHASH = 16
 MINHASH_BANDS = 4  # 4 bands x 4 rows
+# Hot-band escape hatch: a band bucket shared by k docs yields k^2
+# candidate pairs in the bucket self-join. On boilerplate-heavy corpora
+# (license headers, templated pages) a single bucket can hold millions
+# of docs and one reducer gets a quadratic cell no matter what AQE
+# does. Buckets above the cap are dropped from CANDIDATE GENERATION
+# only: such docs are near-identical boilerplate whose pairs carry no
+# ranking information, and every surviving band of a doc still
+# generates its pairs (recall degrades gracefully, per-band). The cap
+# is part of the operator's defined semantics — the oracle applies the
+# identical rule, so the driver verifies the capped operator, not an
+# uncapped idealization.
+MAX_BAND_BUCKET = 64
 SIMHASH_BITS = 60  # 4 chunks x 15 bits; < 2^63 so it fits BIGINT exactly
 SIMHASH_CHUNKS = 4
 SIMHASH_MAX_HAMMING = 3
@@ -175,10 +187,17 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                    md5(array_to_string(s[b*4+1:b*4+4], '|')) AS bh
             FROM sig, range(0, {MINHASH_BANDS}) t(b)
         ),
+        capped AS (
+            SELECT doc_id, b, bh FROM (
+                SELECT doc_id, b, bh,
+                       COUNT(*) OVER (PARTITION BY b, bh) AS bsz
+                FROM bands
+            ) WHERE bsz <= {MAX_BAND_BUCKET}
+        ),
         cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-            FROM bands a
-            JOIN bands b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
+            FROM capped a
+            JOIN capped b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
         )
         SELECT doc_a, doc_b, est_jaccard FROM (
             SELECT doc_a, doc_b,
@@ -195,7 +214,10 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="MinHash (16 perms, md5-derived) + LSH banding (4 bands × 4 "
     "rows) near-dup candidates, filtered at estimated Jaccard ≥ 0.5. "
     "The linear-time scale path for dedup: shuffle keys are "
-    "(band, band_hash), so only same-bucket docs ever pair.",
+    "(band, band_hash), so only same-bucket docs ever pair. Band "
+    f"buckets larger than {MAX_BAND_BUCKET} docs are excluded from "
+    "candidate generation (hot-bucket skew cap; identical rule in the "
+    "oracle, so the capped semantics are what the driver verifies).",
     tags=("dedup", "lsh", "extension"),
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -212,6 +234,13 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     bands = sig.select("doc_id", F.posexplode(band_hashes).alias("b", "bh"))
+    # hot-bucket cap: the windowed count shuffles on exactly the join
+    # key (b, bh), so the filter costs no extra exchange and the
+    # quadratic self-join below never sees a bucket above the cap
+    bucket_w = W.partitionBy("b", "bh")
+    bands = bands.withColumn("bsz", F.count(F.lit(1)).over(bucket_w)).filter(
+        F.col("bsz") <= MAX_BAND_BUCKET
+    ).drop("bsz")
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
