@@ -48,6 +48,17 @@ COSINE_DUP_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal;
 # assignment stays one broadcast-centroids scan either way).
 CENT_STRIDE = 23  # coprime with QUERY_MOD so queries aren't all centroids
 N_PROBE = 3
+# Trained-quantizer refinement (ann_ivf_trained_topk): Lloyd-style
+# iterations from the stride seeds, with the centroid update being the
+# component-wise exact MEDIAN (k-medians), not the mean. The mean of
+# doubles is partial-aggregation-order-dependent (float addition is
+# non-associative), so a mean-updated quantizer can't be replayed
+# bit-identically by an oracle or across partitionings; order
+# statistics are accumulation-free and engine-identical (same property
+# quantity_quartiles relies on). Two iterations move every centroid to
+# the core of its cell — at production scale this runs once on a
+# sample and the trained cells are then a static broadcast table.
+N_KMEDIAN_ITER = 2
 
 _DOT_SQL = "list_sum(list_transform(range(1, 65), i -> {a}[i] * {b}[i]))"
 
@@ -282,12 +293,10 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
-        WITH e AS ({_CORPUS_SQL}),
-        cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
-                  WHERE vec_id % {CENT_STRIDE} = 0),
+# Shared probe/rerank tail for the IVF oracles: assignment + nprobe
+# probing + exact cosine rerank against whatever centroid CTE `cents`
+# the head defined.
+_IVF_SEARCH_SQL = f"""
         scored_cells AS (
             SELECT e.vec_id, cent_id,
                    ROW_NUMBER() OVER (
@@ -324,22 +333,14 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         WHERE rnk <= {TOP_K}
         ORDER BY query_id, rnk
-    """,
-    doc="IVF-style ANN: corpus assigned to the nearest coarse cell; every "
-    "23rd vector seeds a centroid (unbiased stride sample standing in "
-    "for trained KMeans so the oracle can replay the assignment); "
-    "queries probe their 3 best cells; exact cosine rerank within "
-    "probed cells. Scale: "
-    "centroids broadcast, assignment is one narrow scan, and "
-    "cell-partitioned storage turns each query into a partition-pruned "
-    "read of nprobe/ncells of the corpus.",
-    tags=("similarity", "ivf", "extension"),
-)
-def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _emb_with_norm(spark, sf_dir)
-    cents = e.filter(F.col("vec_id") % CENT_STRIDE == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
-    )
+"""
+
+
+def _ivf_search(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assignment + nprobe probing + exact rerank against `cents`
+    (cent_id, cv, cn). Centroids broadcast; the corpus never shuffles
+    for assignment — at scale, cell-partitioned storage turns each
+    query into a partition-pruned read of nprobe/ncells of the data."""
     cw = W.partitionBy("vec_id").orderBy(
         F.desc((dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))),
         F.asc("cent_id"),
@@ -377,3 +378,121 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .orderBy("query_id", "rnk")
     )
+
+
+def _stride_centroids(e: DataFrame) -> DataFrame:
+    return e.filter(F.col("vec_id") % CENT_STRIDE == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+
+
+def _kmedian_centroids(e: DataFrame, n_iter: int = N_KMEDIAN_ITER) -> DataFrame:
+    """Refine the stride seeds with `n_iter` rounds of {assign by
+    cosine → centroid = component-wise exact median}. Each round is one
+    broadcast-centroids scan (assignment) plus one shuffle of
+    (cell, component) pairs (64 rows per vector) for the order-statistic
+    update — partitioning-invariant and oracle-replayable, unlike a
+    float mean (module header). Empty cells drop out naturally."""
+    cents = _stride_centroids(e)
+    for _ in range(n_iter):
+        cw = W.partitionBy("vec_id").orderBy(
+            F.desc((dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))),
+            F.asc("cent_id"),
+        )
+        assigned = (
+            e.crossJoin(F.broadcast(cents))
+            .withColumn("crnk", F.row_number().over(cw))
+            .filter(F.col("crnk") == 1)
+            .select(F.col("cent_id").alias("cell"), "v")
+        )
+        med = (
+            assigned.select("cell", F.posexplode("v").alias("i", "x"))
+            .groupBy("cell", "i")
+            .agg(F.percentile("x", 0.5).alias("m"))
+        )
+        cv = F.transform(F.array_sort(F.collect_list(F.struct("i", "m"))), lambda s: s["m"])
+        cents = (
+            med.groupBy("cell")
+            .agg(cv.alias("cv"))
+            .select(F.col("cell").alias("cent_id"), "cv", norm(F.col("cv")).alias("cn"))
+        )
+    return cents
+
+
+def _kmedian_iter_sql(prev: str, out: str) -> str:
+    """One unrolled k-median iteration as oracle CTEs: `out` centroids
+    from `prev` centroids (cent_id, cv, cn)."""
+    return f"""
+        a_{out} AS (
+            SELECT vec_id, cell, v FROM (
+                SELECT e.vec_id, cent_id AS cell, e.v,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_DOT_SQL.format(a='e.v', b='cv')} / (e.nrm * cn)
+                                    DESC, cent_id
+                       ) AS crnk
+                FROM e CROSS JOIN {prev}
+            ) WHERE crnk = 1
+        ),
+        m_{out} AS (
+            SELECT cell, i, quantile_cont(v[i], 0.5) AS m
+            FROM a_{out}, range(1, {DIM + 1}) t(i)
+            GROUP BY cell, i
+        ),
+        {out} AS (
+            SELECT cent_id, cv, sqrt({_DOT_SQL.format(a='cv', b='cv')}) AS cn
+            FROM (SELECT cell AS cent_id, list(m ORDER BY i) AS cv
+                  FROM m_{out} GROUP BY cell)
+        )
+    """
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+        WITH e AS ({_CORPUS_SQL}),
+        cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
+                  WHERE vec_id % {CENT_STRIDE} = 0),
+        {_IVF_SEARCH_SQL}
+    """,
+    doc="IVF-style ANN: corpus assigned to the nearest coarse cell; every "
+    "23rd vector seeds a centroid (unbiased stride sample standing in "
+    "for trained KMeans so the oracle can replay the assignment); "
+    "queries probe their 3 best cells; exact cosine rerank within "
+    "probed cells. Scale: "
+    "centroids broadcast, assignment is one narrow scan, and "
+    "cell-partitioned storage turns each query into a partition-pruned "
+    "read of nprobe/ncells of the corpus.",
+    tags=("similarity", "ivf", "extension"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_with_norm(spark, sf_dir)
+    return _ivf_search(e, _stride_centroids(e))
+
+
+@register(
+    "ann_ivf_trained_topk",
+    oracle=f"""
+        WITH e AS ({_CORPUS_SQL}),
+        cents0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
+                   WHERE vec_id % {CENT_STRIDE} = 0),
+        {_kmedian_iter_sql('cents0', 'cents1')},
+        {_kmedian_iter_sql('cents1', 'cents')},
+        {_IVF_SEARCH_SQL}
+    """,
+    doc="IVF with a TRAINED coarse quantizer: the stride seeds refined "
+    f"by {N_KMEDIAN_ITER} k-median iterations (assign by cosine, "
+    "centroid = component-wise exact median), then the same "
+    "nprobe-probe + exact-rerank search as ann_ivf_topk. Medians, not "
+    "means: order statistics are partitioning-invariant and "
+    "engine-identical, so the whole training loop is replayed "
+    "bit-exactly by the unrolled oracle CTEs — a trained quantizer "
+    "that is still driver-verifiable. At scale, training runs once on "
+    "a sample, centroids become a static broadcast table, and "
+    "cell-partitioned storage prunes each probe to nprobe/ncells of "
+    "the corpus.",
+    tags=("similarity", "ivf", "kmeans", "extension"),
+)
+def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_with_norm(spark, sf_dir)
+    return _ivf_search(e, _kmedian_centroids(e))

@@ -81,6 +81,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "clean_corpus",
     "doc_sentences",
     "stable_split",
+    # new in round 2 (no prior row by construction)
+    "ann_ivf_trained_topk",
     # output contract changed in round 2 (decimal/int128 boundary casts)
     "revenue_per_day",
     "top10_units",
