@@ -182,6 +182,39 @@ _PY_MARKERS = (
 )
 
 
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+# each one broadcasts a provably-tiny side (a 1-row bounds frame, a
+# query/probe batch, a centroid table) against a single corpus scan —
+# the non-equi join SHAPE is the design, and the broadcast side stays
+# O(small) at any corpus scale.
+_BNLJ_BY_DESIGN = {
+    "ann_topk",               # broadcast query batch x corpus scan
+    "ann_ivf_topk",           # broadcast centroids x corpus scan
+    "ann_ivf_trained_topk",   # broadcast centroids (trained) x corpus scan
+    "margin_signature_2months",  # 1-row date-bounds frame
+    "margin_signature_60days",   # 1-row date-bounds frame
+    "tfidf_top_terms",        # 1-row corpus-size frame
+    "totalprice_histogram",   # 1-row min/max bounds frame
+}
+
+
+def test_no_query_plans_a_partitioned_cross_product(spark, sf_dir):
+    """CartesianProduct (a PARTITIONED cross product — both sides
+    shuffled against each other) must never appear: at corpus scale it
+    is quadratic I/O no matter how the cluster is sized. A
+    BroadcastNestedLoopJoin is allowed only for the whitelisted
+    tiny-side designs above; anywhere else it means a broadcast
+    assumption silently broke (e.g. a bounds frame grew)."""
+    offenders = {}
+    for name, spec in sorted(registry.all_queries().items()):
+        plan = physical_plan(spec.fn(spark, sf_dir))
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_BY_DESIGN:
+            offenders[name] = "BroadcastNestedLoopJoin (not whitelisted)"
+    assert not offenders, f"scale-breaking join shapes: {offenders}"
+
+
 def test_no_query_smuggles_python_into_the_hot_path(spark, sf_dir):
     """Every registered query must stay JVM-side (whole-stage codegen)
     unless Python is its explicit purpose — and row-at-a-time
