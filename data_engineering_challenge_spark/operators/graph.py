@@ -47,13 +47,14 @@ def connected_components(
         StorageLevel.MEMORY_AND_DISK
     )
     labels.count()
+    gen = labels  # persisted backing store of the current generation
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_labels = (
+        new_gen = (
             labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
             .select(
                 "node",
@@ -61,10 +62,14 @@ def connected_components(
                 F.col("lbl").alias("old_lbl"),
             )
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        changed = new_labels.filter(F.col("lbl") != F.col("old_lbl")).count()
-        labels.unpersist()
-        labels = new_labels.select("node", "lbl").persist(StorageLevel.MEMORY_AND_DISK)
-        new_labels.unpersist()
+        # the count below materializes new_gen; only THEN may the previous
+        # generation be dropped — unpersisting the parent before the child
+        # is cached would force every later iteration to recompute the
+        # whole lineage chain (quadratic work in iteration count)
+        changed = new_gen.filter(F.col("lbl") != F.col("old_lbl")).count()
+        gen.unpersist()
+        gen = new_gen
+        labels = new_gen.select("node", "lbl")  # narrow view over the cache
         if changed == 0:
             break
     sym.unpersist()
@@ -90,12 +95,13 @@ def connected_components_bipartite(
         a.select("node").distinct().select("node", F.col("node").alias("lbl"))
     ).persist(StorageLevel.MEMORY_AND_DISK)
     labels.count()
+    gen = labels  # persisted backing store of the current generation
     for _ in range(max_iterations):
         attr_min = (
             a.join(labels, "node").groupBy("attr").agg(F.min("lbl").alias("albl"))
         )
         node_min = a.join(attr_min, "attr").groupBy("node").agg(F.min("albl").alias("nlbl"))
-        new_labels = (
+        new_gen = (
             labels.join(node_min, "node", "left")
             .select(
                 "node",
@@ -103,10 +109,13 @@ def connected_components_bipartite(
                 F.col("lbl").alias("old_lbl"),
             )
         ).persist(StorageLevel.MEMORY_AND_DISK)
-        changed = new_labels.filter(F.col("lbl") != F.col("old_lbl")).count()
-        labels.unpersist()
-        labels = new_labels.select("node", "lbl").persist(StorageLevel.MEMORY_AND_DISK)
-        new_labels.unpersist()
+        # materialize new_gen via the count BEFORE dropping the previous
+        # generation — unpersisting the parent first would force each
+        # later iteration to recompute the full lineage chain
+        changed = new_gen.filter(F.col("lbl") != F.col("old_lbl")).count()
+        gen.unpersist()
+        gen = new_gen
+        labels = new_gen.select("node", "lbl")  # narrow view over the cache
         if changed == 0:
             break
     a.unpersist()
