@@ -1,0 +1,389 @@
+"""Training-data pipeline compositions over `documents`: split
+decontamination, repetition profiling, deterministic mixture sampling,
+PII scrubbing, and a dedup-savings report.
+
+North-star extensions (SURVEY.md §7.4) beyond the reference's surface
+(`/root/reference/src/utils/data_validation.py` stops at per-column
+regex contracts): these are the corpus-level operations an LLM
+training-data pipeline runs between raw ingest and tokenization.
+
+Scale posture shared by every query here:
+- one pass over `documents` per side, all expressions JVM-side
+  (codegen), no Python in any hot path;
+- joins happen on fixed-width md5-prefix gram hashes, never on raw
+  n-gram strings — shuffle bytes per gram are constant, independent of
+  gram length;
+- boilerplate guard: grams above a train-side document frequency cap
+  are excluded *identically* in engine and oracle, so hot-gram shuffle
+  skew is bounded by construction (same pattern as the MinHash band
+  cap in `dedup.py`);
+- outputs are aggregated summaries (per test-doc, per lang, per
+  cluster size) — result sizes track entity counts, not pair spaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import NORM_SQL as _NORM_SQL
+from ..functions.text import normalize_text, tokens, word_ngrams
+from ..registry import register
+
+# ---------------------------------------------------------------------------
+# shared deterministic hashing helpers (engine-identical by construction)
+
+N_SPLIT_BUCKETS = 10  # 8/1/1 — must agree with text_analysis.stable_split
+
+
+def _md5_bucket(col, n_buckets: int, salt: str = ""):
+    """First-8-hex-digits-of-md5 mod n — the partition-stable,
+    engine-independent bucketing primitive (twin of the `('0x' ||
+    substr(md5(..), 1, 8))::BIGINT % n` DuckDB form)."""
+    keyed = F.concat(F.lit(salt), col.cast("string")) if salt else col.cast("string")
+    return (
+        F.conv(F.substring(F.md5(keyed.cast("binary")), 1, 8), 16, 10).cast("long")
+        % n_buckets
+    )
+
+
+def _bucket_sql(expr: str, n_buckets: int, salt: str = "") -> str:
+    keyed = f"'{salt}' || CAST({expr} AS VARCHAR)" if salt else f"CAST({expr} AS VARCHAR)"
+    return f"('0x' || substr(md5({keyed}), 1, 8))::BIGINT % {n_buckets}"
+
+
+_SPLIT_CASE_SQL = (
+    f"CASE WHEN {_bucket_sql('doc_id', N_SPLIT_BUCKETS)} < 8 THEN 'train' "
+    f"WHEN {_bucket_sql('doc_id', N_SPLIT_BUCKETS)} = 8 THEN 'val' "
+    "ELSE 'test' END"
+)
+
+
+def _split_col():
+    b = _md5_bucket(F.col("doc_id"), N_SPLIT_BUCKETS)
+    return F.when(b < 8, "train").when(b == 8, "val").otherwise("test")
+
+
+_TOK_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+# ---------------------------------------------------------------------------
+# 1. split decontamination
+
+DECON_NGRAM = 8  # industry-standard contamination gram width
+MAX_GRAM_TRAIN_DF = 50  # grams in more train docs than this are boilerplate
+
+
+def _gram_sql(n: int) -> str:
+    """DuckDB list of space-joined word n-grams (twin of word_ngrams)."""
+    return (
+        f"list_transform(range(1, len({_TOK_SQL}) - {n - 1} + 1), "
+        f"i -> array_to_string({_TOK_SQL}[i:i+{n - 1}], ' '))"
+    )
+
+
+@register(
+    "decontaminate_split",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, {_SPLIT_CASE_SQL} AS split, unnest(list_distinct({_gram_sql(DECON_NGRAM)})) AS gram
+            FROM documents
+            WHERE len({_TOK_SQL}) >= {DECON_NGRAM}
+        ),
+        hashed AS (
+            SELECT doc_id, split, substr(md5(gram), 1, 16) AS gh FROM grams
+        ),
+        train_ok AS (
+            SELECT doc_id AS train_doc, gh FROM hashed WHERE split = 'train'
+            QUALIFY COUNT(*) OVER (PARTITION BY gh) <= {MAX_GRAM_TRAIN_DF}
+        )
+        SELECT t.doc_id AS test_doc,
+               COUNT(DISTINCT tr.train_doc) AS n_train_docs,
+               COUNT(DISTINCT t.gh) AS n_shared_grams
+        FROM hashed t JOIN train_ok tr USING (gh)
+        WHERE t.split = 'test'
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="Train/test contamination audit: test docs sharing any "
+    f"{DECON_NGRAM}-gram with a train doc under the stable 8/1/1 split. "
+    "THE pre-release gate for a training corpus — leaked eval documents "
+    "surface here. Grams are deduped per doc, joined on 64-bit md5 "
+    "prefixes (constant shuffle width), and grams above a train-df cap "
+    "are excluded as boilerplate on both sides, bounding bucket skew.",
+    tags=("text", "dedup", "sampling", "extension"),
+)
+def decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.storagelevel import StorageLevel
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    # materialize the hashed gram list ONCE — the train and test sides
+    # below would otherwise each re-run the tokenize → 8-gram → md5
+    # chain (the dominant cost; at cluster scale this frame is a
+    # parquet signature stage, MEMORY_AND_DISK is the local analog)
+    grams = (
+        d.select("doc_id", _split_col().alias("split"), tok.alias("toks"))
+        .filter(F.size("toks") >= DECON_NGRAM)
+        .select(
+            "doc_id",
+            "split",
+            F.explode(F.array_distinct(word_ngrams(F.col("toks"), DECON_NGRAM))).alias(
+                "gram"
+            ),
+        )
+        .select(
+            "doc_id",
+            "split",
+            F.substring(F.md5(F.col("gram").cast("binary")), 1, 16).alias("gh"),
+        )
+        .filter(F.col("split") != "val")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    train = grams.filter(F.col("split") == "train").select(
+        F.col("doc_id").alias("train_doc"), "gh"
+    )
+    test = grams.filter(F.col("split") == "test").select(
+        F.col("doc_id").alias("test_doc"), "gh"
+    )
+    # boilerplate cap: one partial-agg'd count per gram hash, then the
+    # hot tail never reaches the test⋈train join
+    from pyspark.sql import Window
+
+    train_ok = (
+        train.withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+        .filter(F.col("df") <= MAX_GRAM_TRAIN_DF)
+        .drop("df")
+    )
+    return (
+        test.join(train_ok, "gh")
+        .groupBy("test_doc")
+        .agg(
+            F.countDistinct("train_doc").alias("n_train_docs"),
+            F.countDistinct("gh").alias("n_shared_grams"),
+        )
+        .orderBy("test_doc")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. repetition profile (Gopher-style repetition quality signals)
+
+
+@register(
+    "repetition_profile",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_TOK_SQL} AS toks, {_gram_sql(2)} AS g2
+            FROM documents
+        )
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               list_max(list_transform(list_distinct(toks),
+                        x -> len(list_filter(toks, tk -> tk = x)))) / len(toks)
+                   AS top_token_frac,
+               CASE WHEN len(g2) > 0
+                    THEN 1e0 - len(list_distinct(g2)) / len(g2)
+                    ELSE 0e0 END AS dup_2gram_frac
+        FROM t
+        ORDER BY doc_id
+    """,
+    doc="Repetition quality signals per document: most-frequent-token "
+    "fraction and duplicate-2gram fraction — the Gopher/RefinedWeb "
+    "repetition filters. Pure array expressions per row (no shuffle, "
+    "no explode): cost is a scan, output is one row per doc.",
+    tags=("text", "extension"),
+)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = tokens(F.col("text"))
+    t = d.select("doc_id", tok.alias("toks"), word_ngrams(tok, 2).alias("g2"))
+    top_frac = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("toks")),
+            lambda x: F.size(F.filter(F.col("toks"), lambda tk: tk == x)),
+        )
+    ) / F.size("toks")
+    dup2 = F.when(
+        F.size("g2") > 0,
+        F.lit(1.0) - F.size(F.array_distinct(F.col("g2"))) / F.size("g2"),
+    ).otherwise(F.lit(0.0))
+    return t.select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        top_frac.alias("top_token_frac"),
+        dup2.alias("dup_2gram_frac"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# 3. deterministic mixture sampling
+
+MIX_RATES = {"en": 40, "zh": 80}  # keep-%; unlisted languages keep 100
+_MIX_CASE_SQL = (
+    "CASE lang "
+    + " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_RATES.items())
+    + " ELSE 100 END"
+)
+
+
+@register(
+    "sample_mixture",
+    oracle=f"""
+        SELECT lang,
+               COUNT(*) AS n_total,
+               COUNT(*) FILTER (
+                   WHERE {_bucket_sql('doc_id', 100, salt='mix:')} < {_MIX_CASE_SQL}
+               ) AS n_kept,
+               COUNT(*) FILTER (
+                   WHERE {_bucket_sql('doc_id', 100, salt='mix:')} < {_MIX_CASE_SQL}
+               ) / COUNT(*) AS kept_frac
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+    doc="Deterministic per-language mixture downsampling audit "
+    "(en→40%, zh→80%, rest 100%): content-hash thresholding, so the "
+    "SAME docs are kept under any partitioning, re-run, or engine — "
+    "the reproducibility property seeded sample() lacks. Output is the "
+    "per-language keep audit a mixture spec is validated against.",
+    tags=("sampling", "extension"),
+)
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    keep_pct = F.when(F.col("lang") == "en", 40).when(F.col("lang") == "zh", 80).otherwise(100)
+    kept = _md5_bucket(F.col("doc_id"), 100, salt="mix:") < keep_pct
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(kept, 1)).alias("n_kept"),
+        )
+        .select(
+            "lang",
+            "n_total",
+            "n_kept",
+            (F.col("n_kept") / F.col("n_total")).alias("kept_frac"),
+        )
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. PII scrubbing
+
+# Dialect-portable patterns (identical semantics in Java regex and RE2:
+# no lookarounds, no \d-class unicode ambiguity, explicit classes only).
+PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+# digits, parens, dot, space, dash (dash last in the class — no escape
+# needed in either dialect); 9+ chars total, digit-anchored both ends
+PII_PHONE = "[0-9][0-9(). -]{7,}[0-9]"
+
+
+@register(
+    "pii_scrub",
+    oracle=f"""
+        SELECT doc_id,
+               len(regexp_extract_all(text, '{PII_EMAIL}')) AS n_emails,
+               len(regexp_extract_all(text, '{PII_PHONE}')) AS n_phones,
+               md5(regexp_replace(regexp_replace(text,
+                       '{PII_EMAIL}', '<EMAIL>', 'g'),
+                       '{PII_PHONE}', '<PHONE>', 'g')) AS scrub_fp
+        FROM documents
+        ORDER BY doc_id
+    """,
+    doc="PII redaction pass: count + replace email/phone-shaped spans, "
+    "fingerprint the scrubbed text (md5 — engine-identical). Patterns "
+    "are restricted to the Java-regex ∩ RE2 dialect so engine and "
+    "oracle scrub identically; scrub runs as two codegen'd "
+    "regexp_replace ops in one scan. Planted-PII semantics are pinned "
+    "in tests/test_pipeline_ops.py (the synthetic corpus is PII-free).",
+    tags=("text", "quality", "extension"),
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0))).cast(
+            "long"
+        ).alias("n_emails"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE), F.lit(0))).cast(
+            "long"
+        ).alias("n_phones"),
+        F.md5(
+            F.regexp_replace(
+                F.regexp_replace("text", PII_EMAIL, "<EMAIL>"),
+                PII_PHONE,
+                "<PHONE>",
+            ).cast("binary")
+        ).alias("scrub_fp"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# 5. dedup savings report
+
+
+@register(
+    "dedup_savings",
+    oracle=f"""
+        WITH n AS (SELECT doc_id, n_chars, {_NORM_SQL} AS norm FROM documents),
+        fp AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN length(norm) >= 8 THEN
+                       list_min(list_transform(range(1, length(norm) - 6),
+                                i -> md5(norm[i:i+7])))
+                   ELSE md5(norm) END AS fp
+            FROM n
+        ),
+        clusters AS (
+            SELECT fp,
+                   COUNT(*) AS cluster_size,
+                   CAST(SUM(n_chars) AS BIGINT) AS chars_total,
+                   CAST(MIN(n_chars) AS BIGINT) AS chars_kept
+            FROM fp GROUP BY fp
+        )
+        SELECT cluster_size,
+               COUNT(*) AS n_clusters,
+               CAST(SUM(cluster_size) AS BIGINT) AS n_docs,
+               CAST(SUM(chars_total - chars_kept) AS BIGINT) AS chars_dropped
+        FROM clusters
+        GROUP BY cluster_size
+        ORDER BY cluster_size
+    """,
+    doc="Dedup savings report: near-dup-block cluster-size histogram "
+    "with the byte savings of keeping one canonical doc per block. "
+    "Blocking key = min character-8-shingle fingerprint (the same "
+    "near-dup key dedup_clusters edges on), so the report prices the "
+    "near-dup mass, not just byte-identical copies. Two chained hash "
+    "aggs (fp, then size); shuffle volume is |distinct fingerprints| "
+    "then |distinct sizes|, never raw docs twice.",
+    tags=("dedup", "extension"),
+)
+def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    shingle_hashes = F.transform(
+        F.sequence(F.lit(1), F.length("norm") - 7),
+        lambda i: F.md5(F.col("norm").substr(i, F.lit(8)).cast("binary")),
+    )
+    fp = d.select("doc_id", "n_chars", normalize_text(F.col("text")).alias("norm")).select(
+        "doc_id",
+        "n_chars",
+        F.when(F.length("norm") >= 8, F.array_min(shingle_hashes))
+        .otherwise(F.md5(F.col("norm").cast("binary")))
+        .alias("fp"),
+    )
+    clusters = fp.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("cluster_size"),
+        F.sum("n_chars").alias("chars_total"),
+        F.min("n_chars").alias("chars_kept"),
+    )
+    return (
+        clusters.groupBy("cluster_size")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("cluster_size").alias("n_docs"),
+            F.sum(F.col("chars_total") - F.col("chars_kept")).alias("chars_dropped"),
+        )
+        .orderBy("cluster_size")
+    )

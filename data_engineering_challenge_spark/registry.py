@@ -83,6 +83,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "stable_split",
     # new in round 2 (no prior row by construction)
     "ann_ivf_trained_topk",
+    "decontaminate_split",
+    "repetition_profile",
+    "sample_mixture",
+    "pii_scrub",
+    "dedup_savings",
     # output contract changed in round 2 (decimal/int128 boundary casts)
     "revenue_per_day",
     "top10_units",
@@ -154,6 +159,7 @@ def _load_all() -> None:
         graph,
         merge,
         multimodal,
+        pipeline_ops,
         profiling,
         relational,
         relational_ext,
