@@ -336,26 +336,44 @@ _IVF_SEARCH_SQL = f"""
 """
 
 
+def _cent_sim():
+    return dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+
+
+def _assign_nearest(e: DataFrame, cents: DataFrame, keep_v: bool = False) -> DataFrame:
+    """(vec_id, cell[, v]): nearest broadcast centroid by cosine, ties
+    to the lowest cent_id — as a max_by AGGREGATION, not a row_number
+    window. The distinction is the whole cost model: a window must
+    shuffle-and-sort every (vector × centroid) expanded row (each
+    dragging a 64-double array through the exchange); max_by partial-
+    aggregates to one row per vector map-side, so only |corpus| narrow
+    rows ever shuffle. Ordering (sim DESC, cent_id ASC) is encoded as
+    max of the (sim, -cent_id) struct — identical tie semantics to the
+    oracle's ROW_NUMBER ... ORDER BY sim DESC, cent_id."""
+    order = F.struct(_cent_sim().alias("s"), (-F.col("cent_id")).alias("t"))
+    aggs = [F.max_by("cent_id", order).alias("cell")]
+    if keep_v:
+        # v is constant per vec_id group — any_value is deterministic here
+        aggs.append(F.any_value("v").alias("v"))
+    return e.crossJoin(F.broadcast(cents)).groupBy("vec_id").agg(*aggs)
+
+
 def _ivf_search(e: DataFrame, cents: DataFrame) -> DataFrame:
     """Assignment + nprobe probing + exact rerank against `cents`
     (cent_id, cv, cn). Centroids broadcast; the corpus never shuffles
     for assignment — at scale, cell-partitioned storage turns each
     query into a partition-pruned read of nprobe/ncells of the data."""
-    cw = W.partitionBy("vec_id").orderBy(
-        F.desc((dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))),
-        F.asc("cent_id"),
-    )
-    scored_cells = (
-        e.crossJoin(F.broadcast(cents))
+    assign = _assign_nearest(e, cents).select("vec_id", "cell")
+    # top-nprobe cells only for the query SUBSET: filter before the
+    # crossJoin so the window sorts |Q| × cells rows, not corpus × cells
+    cw = W.partitionBy("vec_id").orderBy(F.desc(_cent_sim()), F.asc("cent_id"))
+    probes = (
+        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .crossJoin(F.broadcast(cents))
         .withColumn("crnk", F.row_number().over(cw))
-        .select("vec_id", "cent_id", "crnk")
+        .filter(F.col("crnk") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
     )
-    assign = scored_cells.filter(F.col("crnk") == 1).select(
-        "vec_id", F.col("cent_id").alias("cell")
-    )
-    probes = scored_cells.filter(
-        (F.col("vec_id") % QUERY_MOD == 0) & (F.col("crnk") <= N_PROBE)
-    ).select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
     cand = (
         assign.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -395,16 +413,7 @@ def _kmedian_centroids(e: DataFrame, n_iter: int = N_KMEDIAN_ITER) -> DataFrame:
     float mean (module header). Empty cells drop out naturally."""
     cents = _stride_centroids(e)
     for _ in range(n_iter):
-        cw = W.partitionBy("vec_id").orderBy(
-            F.desc((dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")))),
-            F.asc("cent_id"),
-        )
-        assigned = (
-            e.crossJoin(F.broadcast(cents))
-            .withColumn("crnk", F.row_number().over(cw))
-            .filter(F.col("crnk") == 1)
-            .select(F.col("cent_id").alias("cell"), "v")
-        )
+        assigned = _assign_nearest(e, cents, keep_v=True).select("cell", "v")
         med = (
             assigned.select("cell", F.posexplode("v").alias("i", "x"))
             .groupBy("cell", "i")
