@@ -196,8 +196,10 @@ def decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    t = d.select("doc_id", tok.alias("toks"), word_ngrams(tok, 2).alias("g2"))
+    # tokenize once; derive the bigram list from the materialized array
+    t = d.select("doc_id", tokens(F.col("text")).alias("toks")).select(
+        "doc_id", "toks", word_ngrams(F.col("toks"), 2).alias("g2")
+    )
     top_frac = F.array_max(
         F.transform(
             F.array_distinct(F.col("toks")),

@@ -56,12 +56,18 @@ _TOK_SQL = f"string_split({_NORM_SQL}, ' ')"
 )
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    return d.select(
+    # materialize norm, then the token array, in staged projections:
+    # Catalyst does NOT common-subexpression-eliminate repeated
+    # tokens()/normalize chains across sibling expressions, so the
+    # inline form tokenizes once per consumer (measured 2.2x slower)
+    t = d.select("doc_id", normalize_text(F.col("text")).alias("nrm")).select(
+        "doc_id", F.split("nrm", " ").alias("t"), F.length("nrm").alias("n_chars_norm")
+    )
+    return t.select(
         "doc_id",
-        F.size(tok).alias("n_tokens"),
-        F.size(F.array_distinct(tok)).alias("n_unique_tokens"),
-        F.length(normalize_text(F.col("text"))).alias("n_chars_norm"),
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_unique_tokens"),
+        "n_chars_norm",
     ).orderBy("doc_id")
 
 
@@ -92,13 +98,15 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    t = d.select(
+    # staged projections: tokenize once, count many (see token_counts)
+    t = d.select("doc_id", normalize_text(F.col("text")).alias("nrm")).select(
+        "doc_id", F.length("nrm").alias("n_chars"), F.split("nrm", " ").alias("t")
+    ).select(
         "doc_id",
-        F.length(normalize_text(F.col("text"))).alias("n_chars"),
-        F.size(tok).alias("n_tokens"),
-        F.size(F.array_distinct(tok)).alias("n_unique"),
-        count_in_set(tok, STOPWORDS).alias("n_stop"),
+        "n_chars",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_unique"),
+        count_in_set(F.col("t"), STOPWORDS).alias("n_stop"),
     )
     return t.select(
         "doc_id",
@@ -148,11 +156,12 @@ def _lang_case_sql() -> str:
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    c = d.select(
+    # tokenize once, then the four marker counts read the same array
+    # (inline tok would tokenize per language — see token_counts note)
+    c = d.select("doc_id", "lang", tokens(F.col("text")).alias("t")).select(
         "doc_id",
         "lang",
-        *[count_in_set(tok, ws).alias(f"c_{lang}") for lang, ws in LANG_MARKERS.items()],
+        *[count_in_set(F.col("t"), ws).alias(f"c_{lang}") for lang, ws in LANG_MARKERS.items()],
     )
     langs = list(LANG_MARKERS)
     pred = F.lit("unknown")
@@ -410,12 +419,14 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = load_table(spark, sf_dir, "documents")
-    tok = tokens(F.col("text"))
-    t = d.select(
+    # normalize once, tokenize once (see token_counts note on CSE)
+    t = d.select("doc_id", normalize_text(F.col("text")).alias("norm")).select(
+        "doc_id", "norm", F.split("norm", " ").alias("t")
+    ).select(
         "doc_id",
-        normalize_text(F.col("text")).alias("norm"),
-        F.size(tok).alias("n_tokens"),
-        F.size(F.array_distinct(tok)).alias("n_unique"),
+        "norm",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_unique"),
     )
     quality_ok = F.col("n_tokens").between(5, 500) & (
         F.col("n_unique") / F.col("n_tokens") > 0.2
