@@ -5,7 +5,7 @@ North-star extensions (SURVEY.md §7.4) generalizing the reference's
 duplicate-group audit (notebook cells 26-29, the 76-dup-group finding
 at README.md:192) to the approximate dedup an LLM-data pipeline needs.
 
-All four are *oracle-checkable*: every hash derives from md5 (identical
+All four are *oracle-checkable*: every hash derives from md5/sha256 (identical
 bytes-in/hex-out in Spark and DuckDB), minima over uniform hex hashes
 are valid min-hashes, and ratios stay raw double divisions of exact
 integers — so the approximate algorithms produce bit-identical results
@@ -155,18 +155,43 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, s: array<string>[16]) — per-perm minima of md5('j:'+gram).
+# MinHash permutation family: the 16 per-perm hashes are sixteen
+# independent 32-bit SLICES of two sha256 digests of the gram — two
+# hash invocations per gram instead of sixteen (the signature pass is
+# the dominant dedup cost at corpus scale). Each 8-hex window of a
+# cryptographic digest is an independent uniform 32-bit hash, minima
+# over them are valid min-hashes, and the hex slicing is byte-for-byte
+# identical in Spark and DuckDB. (A multiply-add-mod family is NOT
+# usable here: with operands bounded to avoid int64 overflow the
+# product never wraps the modulus, the mix stays monotonic in the base
+# hash, and all 16 "permutations" elect the same min gram — perfectly
+# correlated signatures. Caught by the pair-count blowing up 25→135.)
+_MH_SLICES_PER_DIGEST = 8  # 64 hex chars / 8
 
-    One aggregation with 16 min() columns: a single shuffle of
-    (doc_id, 16×32 hex chars); the md5s are computed map-side.
-    """
+
+def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s: array<long>[16]) — per-slice minima of the two
+    sha256 digests. One aggregation with 16 min() columns: a single
+    shuffle of (doc_id, 16 longs); digests are computed map-side."""
     g = _distinct_grams(spark, sf_dir)
+    d1 = F.sha2(F.col("gram").cast("binary"), 256)
+    d2 = F.sha2(F.concat(F.lit("x:"), F.col("gram")).cast("binary"), 256)
+    hh = g.select("doc_id", d1.alias("d1"), d2.alias("d2"))
     mins = [
-        F.min(F.md5(F.concat(F.lit(f"{j}:"), F.col("gram")).cast("binary"))).alias(f"h{j}")
+        F.min(
+            F.conv(
+                F.substring(
+                    F.col("d1" if j < _MH_SLICES_PER_DIGEST else "d2"),
+                    (j % _MH_SLICES_PER_DIGEST) * 8 + 1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+        ).alias(f"h{j}")
         for j in range(NUM_MINHASH)
     ]
-    sig = g.groupBy("doc_id").agg(*mins)
+    sig = hh.groupBy("doc_id").agg(*mins)
     return _reused(
         sig.select("doc_id", F.array(*[f"h{j}" for j in range(NUM_MINHASH)]).alias("s"))
     )
@@ -176,9 +201,15 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     "minhash_lsh_pairs",
     oracle=f"""
         WITH g AS ({_GRAMS_SQL}),
+        hh AS (
+            SELECT doc_id, sha256(gram) AS d1, sha256('x:' || gram) AS d2 FROM g
+        ),
         h AS (
-            SELECT doc_id, j, MIN(md5(j || ':' || gram)) AS mh
-            FROM g, range(0, {NUM_MINHASH}) t(j)
+            SELECT doc_id, j,
+                   MIN(('0x' || substr(
+                            CASE WHEN j < {_MH_SLICES_PER_DIGEST} THEN d1 ELSE d2 END,
+                            (j % {_MH_SLICES_PER_DIGEST}) * 8 + 1, 8))::BIGINT) AS mh
+            FROM hh, range(0, {NUM_MINHASH}) t(j)
             GROUP BY doc_id, j
         ),
         sig AS (SELECT doc_id, list(mh ORDER BY j) AS s FROM h GROUP BY doc_id),
@@ -211,7 +242,8 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE est_jaccard >= 0.5
         ORDER BY doc_a, doc_b
     """,
-    doc="MinHash (16 perms, md5-derived) + LSH banding (4 bands × 4 "
+    doc="MinHash (16 perms = independent 32-bit slices of two sha256 "
+    "digests, two hash calls per gram) + LSH banding (4 bands × 4 "
     "rows) near-dup candidates, filtered at estimated Jaccard ≥ 0.5. "
     "The linear-time scale path for dedup: shuffle keys are "
     "(band, band_hash), so only same-bucket docs ever pair. Band "
