@@ -323,7 +323,68 @@ def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# 5. dedup savings report
+# 5. sequence packing audit
+
+SEQ_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, len({_TOK_SQL}) AS n_tokens FROM documents
+        ),
+        s AS (
+            SELECT doc_id, source, n_tokens,
+                   SUM(n_tokens) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) - n_tokens AS start_tok
+            FROM t
+        )
+        SELECT source,
+               CAST(start_tok // {SEQ_BUDGET} AS BIGINT) AS seq_id,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens
+        FROM s
+        GROUP BY 1, 2
+        ORDER BY source, seq_id
+    """,
+    doc=f"Sequence-packing audit: concat-then-chunk packing of each "
+    f"source shard's token stream into {SEQ_BUDGET}-token training "
+    "sequences (doc assigned to the sequence its first token lands "
+    "in), reported as docs/tokens per sequence. Packing runs per "
+    "source shard — the running-sum window parallelizes across "
+    "shards, where a single global pack would serialize the corpus "
+    "through one partition.",
+    tags=("text", "sampling", "extension"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select("doc_id", "source", F.size(tokens(F.col("text"))).alias("n_tokens"))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = t.withColumn("start_tok", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        s.groupBy(
+            "source",
+            F.floor(F.col("start_tok") / SEQ_BUDGET).cast("long").alias("seq_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("seq_tokens"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. dedup savings report
 
 
 @register(

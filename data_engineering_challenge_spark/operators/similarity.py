@@ -505,3 +505,67 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_with_norm(spark, sf_dir)
     return _ivf_search(e, _kmedian_centroids(e))
+
+
+SEMDEDUP_THRESHOLD = 0.4  # matches COSINE_DUP_THRESHOLD for this corpus
+
+
+@register(
+    "semantic_dedup",
+    oracle=f"""
+        WITH e AS ({_CORPUS_SQL}),
+        cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
+                  WHERE vec_id % {CENT_STRIDE} = 0),
+        a2 AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, cent_id AS cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_DOT_SQL.format(a='e.v', b='cv')} / (e.nrm * cn)
+                                    DESC, cent_id
+                       ) AS crnk
+                FROM e CROSS JOIN cents
+            ) WHERE crnk = 1
+        ),
+        dup AS (
+            SELECT DISTINCT b.vec_id
+            FROM a2 a JOIN a2 b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e eb ON eb.vec_id = b.vec_id
+            WHERE {_DOT_SQL.format(a='ea.v', b='eb.v')} / (ea.nrm * eb.nrm)
+                  >= {SEMDEDUP_THRESHOLD}
+        )
+        SELECT a2.vec_id, cell, dup.vec_id IS NULL AS is_kept
+        FROM a2 LEFT JOIN dup ON a2.vec_id = dup.vec_id
+        ORDER BY a2.vec_id
+    """,
+    doc="SemDeDup-style semantic dedup: embeddings are coarse-clustered "
+    "by the replayable stride quantizer, and within each cell a vector "
+    "is dropped when a lower-id vector in the SAME cell has cosine ≥ "
+    f"{SEMDEDUP_THRESHOLD} (greedy lowest-id-wins — the standard "
+    "within-cluster approximation; cross-cell dups are by construction "
+    "below the coarse-quantizer resolution). Scale: the pair join is "
+    "confined to cells (k² per cell with k ≈ corpus/cells), vectors "
+    "shuffle once on the cell key, centroids broadcast — the exact "
+    "shape of the published SemDeDup recipe.",
+    tags=("similarity", "dedup", "extension"),
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_with_norm(spark, sf_dir)
+    assign = _assign_nearest(e, _stride_centroids(e)).select("vec_id", "cell")
+    a = assign.join(e, "vec_id")
+    lo = a.select("cell", F.col("vec_id").alias("ia"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    hi = a.select("cell", F.col("vec_id").alias("ib"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dup = (
+        lo.join(hi, "cell")
+        .filter(F.col("ia") < F.col("ib"))
+        .filter(dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) >= SEMDEDUP_THRESHOLD)
+        .select(F.col("ib").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return (
+        assign.join(dup, "vec_id", "left")
+        .select("vec_id", "cell", F.col("dropped").isNull().alias("is_kept"))
+        .orderBy("vec_id")
+    )

@@ -88,6 +88,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_mixture",
     "pii_scrub",
     "dedup_savings",
+    "pack_sequences",
+    "semantic_dedup",
     # output contract changed in round 2 (sliced-digest minhash family)
     "minhash_lsh_pairs",
     # output contract changed in round 2 (decimal/int128 boundary casts)

@@ -142,6 +142,52 @@ def test_sample_mixture_matches_python_hash(spark, corpus_dir):
         assert rows[lang]["n_kept"] == expected, lang
 
 
+def test_pack_sequences_conservation(spark, sf_dir):
+    """Packing invariants: token totals conserve per source, seq_ids
+    are contiguous from 0, and every sequence's first-token offset
+    respects the budget boundary definition."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.catalog import load_table
+    from data_engineering_challenge_spark.functions.text import tokens
+
+    rows = po.pack_sequences(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    totals = {
+        r["source"]: r["tot"]
+        for r in d.select("source", F.size(tokens(F.col("text"))).alias("n"))
+        .groupBy("source")
+        .agg(F.sum("n").alias("tot"))
+        .collect()
+    }
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    assert set(by_source) == set(totals)
+    for src, rs in by_source.items():
+        assert sum(r["seq_tokens"] for r in rs) == totals[src]
+        ids = sorted(r["seq_id"] for r in rs)
+        assert ids == list(range(len(ids))), f"{src}: non-contiguous {ids[:5]}"
+
+
+def test_semantic_dedup_keeps_minimum_per_dup_group(spark, sf_dir):
+    """Every cell keeps at least its lowest vec_id, and kept+dropped
+    partitions the corpus."""
+    rows = po_sem = None
+    from data_engineering_challenge_spark.operators.similarity import semantic_dedup
+
+    rows = semantic_dedup(spark, sf_dir).collect()
+    from data_engineering_challenge_spark.catalog import load_table
+
+    assert len(rows) == load_table(spark, sf_dir, "embeddings").count()
+    by_cell: dict[int, list] = {}
+    for r in rows:
+        by_cell.setdefault(r["cell"], []).append(r)
+    for cell, rs in by_cell.items():
+        lowest = min(r["vec_id"] for r in rs)
+        assert any(r["vec_id"] == lowest and r["is_kept"] for r in rs), cell
+
+
 def test_dedup_savings_conservation(spark, sf_dir):
     """Histogram invariants on the real corpus: doc counts conserve,
     singleton clusters drop zero bytes, multi-doc clusters drop > 0."""
