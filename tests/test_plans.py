@@ -191,11 +191,46 @@ _BNLJ_BY_DESIGN = {
     "ann_topk",               # broadcast query batch x corpus scan
     "ann_ivf_topk",           # broadcast centroids x corpus scan
     "ann_ivf_trained_topk",   # broadcast centroids (trained) x corpus scan
+    "semantic_dedup",         # broadcast centroids x corpus scan
     "margin_signature_2months",  # 1-row date-bounds frame
     "margin_signature_60days",   # 1-row date-bounds frame
     "tfidf_top_terms",        # 1-row corpus-size frame
     "totalprice_histogram",   # 1-row min/max bounds frame
 }
+
+
+def test_scan_only_text_ops_have_no_joins(spark, sf_dir):
+    """repetition_profile / pii_scrub / sample_mixture are one-scan
+    column math: any Join node means a regression re-introduced a
+    second pass over the corpus."""
+    expected_cols = {
+        "repetition_profile": {"doc_id", "text"},
+        "pii_scrub": {"doc_id", "text"},
+        "sample_mixture": {"doc_id", "lang"},  # never reads text at all
+    }
+    for name, want in expected_cols.items():
+        plan = _plan(spark, sf_dir, name)
+        assert "Join" not in plan, f"{name} grew a join:\n{plan[:800]}"
+        (scan,) = scans_of(plan, "documents")
+        cols = read_columns(scan)
+        assert cols == want, f"{name} scan not pruned: {cols}"
+
+
+def test_pack_sequences_windows_per_shard(spark, sf_dir):
+    """Packing must hash-partition by source for the running-sum window
+    (parallel across shards) — a global-window plan would funnel the
+    corpus through a single partition."""
+    plan = _plan(spark, sf_dir, "pack_sequences")
+    assert "hashpartitioning(source" in plan, plan[:800]
+    assert "SinglePartition" not in plan, "global window = serialized corpus"
+
+
+def test_decontaminate_joins_on_gram_hash_only(spark, sf_dir):
+    """The contamination join must key on the fixed-width gram hash —
+    never the raw gram strings — and must not cross-product."""
+    plan = _plan(spark, sf_dir, "decontaminate_split")
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(gh" in plan, plan[:800]
 
 
 def test_no_query_plans_a_partitioned_cross_product(spark, sf_dir):
