@@ -30,6 +30,13 @@ RUNTIME_CONFS: dict[str, str] = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # parquet footer-level pruning of row groups.
     "spark.sql.parquet.filterPushdown": "true",
+    # runtime bloom filters: a selective dim-side predicate becomes a
+    # bloom filter pushed into the fact scan, pruning row groups the
+    # join would discard anyway — at 100 TB this is the difference
+    # between scanning the year and scanning the month. No effect at
+    # test SFs (creation-side thresholds keep it off for tiny inputs);
+    # the conf ships the cluster posture.
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
     # events.parquet stores ts as TIMESTAMP(NANOS) which vanilla Spark
     # rejects; read the raw int64 and convert exactly (catalog.load_table).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
