@@ -321,7 +321,7 @@ def value_format_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_json_extract",
-    oracle="""
+    oracle=r"""
         SELECT event_type,
                COUNT(*) AS n_events,
                CAST(SUM(CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^-?\d+$') THEN json_extract_string(props, '$.k') END AS BIGINT)) AS BIGINT) AS sum_k,
@@ -358,7 +358,7 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_props_map",
-    oracle="""
+    oracle=r"""
         SELECT event_type,
                u.key AS prop_key,
                COUNT(*) AS n,
@@ -396,7 +396,7 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_variant_extract",
-    oracle="""
+    oracle=r"""
         WITH ext AS (
             SELECT event_type,
                    CASE WHEN json_valid(props)

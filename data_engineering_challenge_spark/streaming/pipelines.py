@@ -87,6 +87,47 @@ def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deduped.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
+def corpus_clean_transform(d: DataFrame) -> DataFrame:
+    """The corpus-cleaning chain as a STATELESS transform shared by the
+    batch and streaming paths: PII scrub → normalize/tokenize →
+    quality gate → scrubbed-content fingerprint. Stateless means the
+    identical plan runs under readStream with zero state store — the
+    shape of a streaming ingest filter in front of a training-corpus
+    landing zone."""
+    from ..functions.text import normalize_text
+    from ..operators.pipeline_ops import PII_EMAIL, PII_PHONE
+
+    scrubbed = F.regexp_replace(
+        F.regexp_replace("text", PII_EMAIL, "<EMAIL>"), PII_PHONE, "<PHONE>"
+    )
+    t = d.select("doc_id", scrubbed.alias("stext")).select(
+        "doc_id", normalize_text(F.col("stext")).alias("norm")
+    ).select("doc_id", "norm", F.split("norm", " ").alias("t"))
+    return (
+        t.select(
+            "doc_id",
+            F.size("t").alias("n_tokens"),
+            (F.size(F.array_distinct("t")) / F.size("t")).alias("unique_ratio"),
+            F.md5(F.col("norm").cast("binary")).alias("clean_fp"),
+        )
+        .filter(
+            F.col("n_tokens").between(5, 500) & (F.col("unique_ratio") > 0.2)
+        )
+    )
+
+
+def clean_corpus_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming corpus-ingest filter: documents stream through the
+    stateless cleaning chain (PII scrub + quality gate + fingerprint)."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir_for(f"{sf_dir}/documents.parquet"))
+    )
+    return corpus_clean_transform(raw)
+
+
 def run_stream_to_memory(df: DataFrame, name: str, mode: str = "append") -> None:
     """Drive a streaming frame to completion into an in-memory table
     (tests/local smoke; production uses foreachBatch/kafka sinks)."""

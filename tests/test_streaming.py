@@ -5,6 +5,8 @@ from __future__ import annotations
 
 from data_engineering_challenge_spark.operators.windows import events_hourly
 from data_engineering_challenge_spark.streaming.pipelines import (
+    clean_corpus_stream,
+    corpus_clean_transform,
     dedup_events_stream,
     hourly_event_counts_stream,
     run_stream_to_memory,
@@ -27,6 +29,26 @@ def test_streaming_hourly_matches_batch(spark, sf_dir):
         [tuple(r) for r in want.collect()],
     )
     assert ok, detail
+
+
+def test_streaming_corpus_clean_matches_batch(spark, sf_dir):
+    """The stateless cleaning chain must yield identical rows whether
+    the documents arrive as a stream or a batch table."""
+    from data_engineering_challenge_spark.catalog import load_table
+
+    s = clean_corpus_stream(spark, sf_dir)
+    assert s.isStreaming
+    run_stream_to_memory(s, "corpus_clean_out", mode="append")
+    got = spark.sql("SELECT * FROM corpus_clean_out")
+    want = corpus_clean_transform(load_table(spark, sf_dir, "documents"))
+    ok, detail = compare(
+        got.columns,
+        [tuple(r) for r in got.collect()],
+        want.columns,
+        [tuple(r) for r in want.collect()],
+    )
+    assert ok, detail
+    assert got.count() > 0
 
 
 def test_streaming_dedup(spark, sf_dir):
