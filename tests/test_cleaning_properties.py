@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from decimal import Decimal
 
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, example, given, settings
 from hypothesis import strategies as st
 
 from pyspark.sql import functions as F
@@ -90,6 +90,7 @@ def test_decimal_comma_equals_decimal_point(spark, decs):
         max_size=5,
     )
 )
+@example(values=["0\x1f"])  # control char: engine-garbage, Python-whitespace
 @settings(**_SETTINGS)
 def test_garbage_never_corrupts_numeric(spark, values):
     """Anything that isn't a clean EU/US numeric becomes NULL, never a
@@ -98,7 +99,10 @@ def test_garbage_never_corrupts_numeric(spark, values):
 
     got = _roundtrip(spark, values, parse_decimal_comma)
     for v, g in zip(values, got):
-        s = v.strip()
+        # strip exactly the engine's whitespace class (Java \s): Python
+        # str.strip() also removes \x1c-\x1f, which the engine treats
+        # as garbage — '0\x1f' must parse to NULL, not 0 (hypothesis)
+        s = v.strip(" \t\n\x0b\f\r")
         if re.fullmatch(r"[+-]?\d+(,\d+)?", s):
             assert g == Decimal(s.replace(",", ".")).quantize(Decimal("0.000001"))
         elif re.fullmatch(r"[+-]?\d+(\.\d+)?", s):
