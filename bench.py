@@ -90,8 +90,9 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name, spec in registry.all_queries().items():
         # each query is timed self-contained: persisted intermediates
-        # from earlier queries would otherwise cause LRU eviction churn
-        spark.catalog.clearCache()
+        # from earlier queries (tracked in the registry's persist
+        # ledger) would otherwise cause LRU eviction churn
+        registry.drain_cache_ledger()
         t0 = time.perf_counter()
         df = spec.fn(spark, sf_dir)
         n = len(df.collect())

@@ -69,8 +69,13 @@ def _reused(df: DataFrame) -> DataFrame:
     (LSH signatures, exploded shingles): without this Spark re-derives
     the full tokenize/hash/aggregate lineage per consumer. At cluster
     scale the same role is played by writing signatures to a parquet
-    stage; MEMORY_AND_DISK is the local analog (spills, never OOMs)."""
-    return df.persist(StorageLevel.MEMORY_AND_DISK)
+    stage; MEMORY_AND_DISK is the local analog (spills, never OOMs).
+    Routed through the registry's persist ledger: the frame must stay
+    cached while the caller collects, so cleanup is deferred to the
+    next registered-query invocation."""
+    from ..registry import track_persist
+
+    return track_persist(df, StorageLevel.MEMORY_AND_DISK)
 
 
 _GRAMS_SQL = f"""

@@ -10,6 +10,10 @@ Scale design (100 TB posture):
   are star-like (diameter 2-3). A hard cap guards pathological chains.
 - Labels persist per iteration and the previous generation unpersists
   — memory is O(|nodes|), lineage stays flat (no 50-deep plan).
+- Every CHECKPOINT_EVERY iterations the generation is
+  localCheckpoint(eager)-ed: the logical plan itself (not just the
+  computed data) is truncated, so a pathological high-diameter graph
+  cannot grow an unbounded plan tree / stack-overflow the analyzer.
 
 The oracle is a DuckDB recursive CTE computing min reachable label —
 the declarative specification of the same fixpoint.
@@ -23,9 +27,10 @@ from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table
 from ..functions.text import normalize_text
-from ..registry import register
+from ..registry import register, track_cached
 
 MAX_ITERATIONS = 50
+CHECKPOINT_EVERY = 10  # truncate logical-plan lineage every N iterations
 
 from ..functions.text import NORM_SQL as _NORM_SQL  # noqa: E402 — oracle twin of normalize_text
 
@@ -48,20 +53,24 @@ def connected_components(
     )
     labels.count()
     gen = labels  # persisted backing store of the current generation
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_gen = (
-            labels.join(neighbor_min, labels.node == neighbor_min.a, "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
-                F.col("lbl").alias("old_lbl"),
-            )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        new_gen = labels.join(neighbor_min, labels.node == neighbor_min.a, "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            F.col("lbl").alias("old_lbl"),
+        )
+        if (it + 1) % CHECKPOINT_EVERY == 0:
+            # truncate the logical plan: high-diameter graphs otherwise
+            # grow an O(iterations)-deep plan tree even though the DATA
+            # is cached per generation (analyzer cost, stack depth)
+            new_gen = new_gen.localCheckpoint(eager=True)
+        else:
+            new_gen = new_gen.persist(StorageLevel.MEMORY_AND_DISK)
         # the count below materializes new_gen; only THEN may the previous
         # generation be dropped — unpersisting the parent before the child
         # is cached would force every later iteration to recompute the
@@ -73,6 +82,7 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    track_cached(gen)  # drained by the next registered-query invocation
     return labels.select("node", F.col("lbl").alias("component"))
 
 
@@ -96,19 +106,22 @@ def connected_components_bipartite(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     labels.count()
     gen = labels  # persisted backing store of the current generation
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         attr_min = (
             a.join(labels, "node").groupBy("attr").agg(F.min("lbl").alias("albl"))
         )
         node_min = a.join(attr_min, "attr").groupBy("node").agg(F.min("albl").alias("nlbl"))
-        new_gen = (
-            labels.join(node_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
-                F.col("lbl").alias("old_lbl"),
-            )
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+        new_gen = labels.join(node_min, "node", "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
+            F.col("lbl").alias("old_lbl"),
+        )
+        if (it + 1) % CHECKPOINT_EVERY == 0:
+            # plan-lineage truncation for pathological diameters (see
+            # connected_components)
+            new_gen = new_gen.localCheckpoint(eager=True)
+        else:
+            new_gen = new_gen.persist(StorageLevel.MEMORY_AND_DISK)
         # materialize new_gen via the count BEFORE dropping the previous
         # generation — unpersisting the parent first would force each
         # later iteration to recompute the full lineage chain
@@ -119,6 +132,7 @@ def connected_components_bipartite(
         if changed == 0:
             break
     a.unpersist()
+    track_cached(gen)  # drained by the next registered-query invocation
     return labels.select("node", F.col("lbl").alias("component"))
 
 

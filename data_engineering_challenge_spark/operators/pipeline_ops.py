@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table
 from ..functions.text import NORM_SQL as _NORM_SQL
 from ..functions.text import normalize_text, tokens, word_ngrams
-from ..registry import register
+from ..registry import register, track_persist
 
 # ---------------------------------------------------------------------------
 # shared deterministic hashing helpers (engine-identical by construction)
@@ -138,8 +138,8 @@ def decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring(F.md5(F.col("gram").cast("binary")), 1, 16).alias("gh"),
         )
         .filter(F.col("split") != "val")
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    grams = track_persist(grams, StorageLevel.MEMORY_AND_DISK)
     train = grams.filter(F.col("split") == "train").select(
         F.col("doc_id").alias("train_doc"), "gh"
     )

@@ -28,7 +28,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table
 from ..functions.vectors import as_double, cosine, dot, hyperplanes, norm
-from ..registry import register
+from ..registry import register, track_persist
 
 QUERY_MOD = 50  # vec_id % 50 == 0 → the query subset
 TOP_K = 5
@@ -70,8 +70,9 @@ def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     analog is a staged norms+vectors table."""
     e = load_table(spark, sf_dir, "embeddings")
     v = as_double(F.col("embedding"))
-    return e.select("vec_id", v.alias("v"), norm(v).alias("nrm")).persist(
-        StorageLevel.MEMORY_AND_DISK
+    return track_persist(
+        e.select("vec_id", v.alias("v"), norm(v).alias("nrm")),
+        StorageLevel.MEMORY_AND_DISK,
     )
 
 
@@ -193,8 +194,9 @@ def _band_bucket_col(vec_col: F.Column, band: int) -> F.Column:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_with_norm(spark, sf_dir)
     band_arr = F.array(*[_band_bucket_col(F.col("v"), b) for b in range(LSH_BANDS)])
-    buckets = e.select("vec_id", F.posexplode(band_arr).alias("band", "bucket")).persist(
-        StorageLevel.MEMORY_AND_DISK  # consumed by the probe and corpus sides
+    buckets = track_persist(
+        e.select("vec_id", F.posexplode(band_arr).alias("band", "bucket")),
+        StorageLevel.MEMORY_AND_DISK,  # consumed by the probe and corpus sides
     )
     qb = buckets.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "band", "bucket"
@@ -264,8 +266,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_with_norm(spark, sf_dir)
     band_arr = F.array(*[_band_bucket_col(F.col("v"), b) for b in range(LSH_BANDS)])
-    buckets = e.select("vec_id", F.posexplode(band_arr).alias("band", "bucket")).persist(
-        StorageLevel.MEMORY_AND_DISK  # both sides of the bucket self-join
+    buckets = track_persist(
+        e.select("vec_id", F.posexplode(band_arr).alias("band", "bucket")),
+        StorageLevel.MEMORY_AND_DISK,  # both sides of the bucket self-join
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (

@@ -120,22 +120,58 @@ def all_queries() -> dict[str, QuerySpec]:
     return {n: _REGISTRY[n] for n in names}
 
 
-def _self_cleaning(fn: SparkQuery) -> SparkQuery:
-    """Wrap a query fn to drop cached frames left by *earlier* queries.
+# ---------------------------------------------------------------------------
+# Cache hygiene: the persist ledger.
+#
+# Several operators persist multiply-consumed sub-frames (LSH
+# signatures, shingles, CC label generations) that are still needed
+# when the query fn RETURNS — the caller collects the result after —
+# so the fn cannot unpersist them in a try/finally. A harness that
+# runs the whole suite through one session would otherwise accumulate
+# those caches until LRU eviction churns recomputation (observed 2.4×
+# slowdowns in round 1). Round 2 fixed that with a blanket
+# `spark.catalog.clearCache()` per query — correct but a sledgehammer:
+# it also wipes caches Spark's plan-matching would legitimately reuse
+# and costs an RPC per query. Now every operator persist routes
+# through `track_persist`, and the next registered-query invocation
+# (by which time the previous query has been fully collected) drains
+# exactly the frames the PREVIOUS queries persisted — nothing else.
+# ---------------------------------------------------------------------------
 
-    Several operators persist multiply-consumed sub-frames (LSH
-    signatures, shingles, CC labels) and cannot unpersist them before
-    the caller collects. A harness that runs the whole suite through
-    one session would otherwise accumulate those caches until LRU
-    eviction churns recomputation (observed 2.4× slowdowns). Each
-    query starts from a clean cache; correctness is unaffected either
-    way."""
+_CACHE_LEDGER: list[DataFrame] = []
 
-    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def track_persist(df: DataFrame, storage_level=None) -> DataFrame:
+    """Persist a multiply-consumed sub-frame and record it for deferred
+    cleanup (drained at the next registered-query call / bench step)."""
+    from pyspark import StorageLevel
+
+    df.persist(storage_level or StorageLevel.MEMORY_AND_DISK)
+    _CACHE_LEDGER.append(df)
+    return df
+
+
+def track_cached(df: DataFrame) -> DataFrame:
+    """Record an already-persisted frame for deferred cleanup."""
+    _CACHE_LEDGER.append(df)
+    return df
+
+
+def drain_cache_ledger() -> None:
+    """Unpersist every ledgered frame (non-blocking)."""
+    while _CACHE_LEDGER:
+        df = _CACHE_LEDGER.pop()
         try:
-            spark.catalog.clearCache()
+            df.unpersist()
         except Exception:
             pass
+
+
+def _self_cleaning(fn: SparkQuery) -> SparkQuery:
+    """Wrap a query fn to drop frames ledgered by *earlier* queries."""
+
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        drain_cache_ledger()
         return fn(spark, sf_dir)
 
     return wrapped

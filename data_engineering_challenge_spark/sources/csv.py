@@ -160,7 +160,10 @@ def read_csv_audited(
         .option("columnNameOfCorruptRecord", corrupt_col)
         .schema(full)
         .csv(path)
-    ).cache()
+    )
+    from ..registry import track_persist  # local: avoid import cycle
+
+    df = track_persist(df)
     clean = df.filter(F.col(corrupt_col).isNull()).drop(corrupt_col)
     quarantined = df.filter(F.col(corrupt_col).isNotNull()).select(
         F.col(corrupt_col).alias("raw_line")

@@ -20,18 +20,25 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..session import apply_runtime_confs
 
 WATERMARK = "10 minutes"
 
 
-def _stream_dir_for(path: str) -> str:
+def _stream_dir_for(path: str, token: str = "") -> str:
     """FileStreamSource requires a *directory* source; the testdata ships
     single parquet files. Symlink the file into a per-path temp dir (the
-    shape a real file-drop ingestion directory has anyway)."""
+    shape a real file-drop ingestion directory has anyway).
+
+    The dir name is content-addressed over (path, token) — callers pass
+    the resolved source schema as the token — so a /tmp dir staged under
+    one schema reading can never be silently reused after the source's
+    resolved schema changes (e.g. a session-conf change flips how a
+    parquet type is read)."""
     d = os.path.join(
         tempfile.gettempdir(),
-        "desc_stream_src_" + hashlib.md5(path.encode()).hexdigest()[:12],
+        "desc_stream_src_"
+        + hashlib.md5(f"{path}\x00{token}".encode()).hexdigest()[:16],
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(path))
@@ -43,19 +50,24 @@ def _stream_dir_for(path: str) -> str:
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file-source smoke config;
     production swaps in kafka options without touching the pipeline)."""
-    batch = load_table(spark, sf_dir, "events")  # reuse nanos→NTZ handling
+    apply_runtime_confs(spark)  # pin session tz UTC before any ts math
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(_stream_dir_for(f"{sf_dir}/events.parquet"))
+        .parquet(_stream_dir_for(f"{sf_dir}/events.parquet", schema.simpleString()))
     )
-    # watermarks require TIMESTAMP (not NTZ): keep the instant type
-    # inside the stream (session tz pinned UTC by apply_runtime_confs)
-    # and cast back to NTZ at the output edge.
-    if dict(raw.dtypes).get("ts") == "bigint":
+    # Watermarks require TIMESTAMP (not NTZ). The parquet `ts` column is
+    # TIMESTAMP(NANOS) and arrives as EITHER a raw int64 (nanosAsLong
+    # reading) or TIMESTAMP_NTZ depending on session conf state — handle
+    # both. Session tz is pinned UTC above, so NTZ→TIMESTAMP via
+    # to_timestamp is instant-preserving; outputs cast back to NTZ at
+    # the edge.
+    ts_type = dict(raw.dtypes).get("ts")
+    if ts_type == "bigint":
         raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    _ = batch  # schema source only
+    elif ts_type == "timestamp_ntz":
+        raw = raw.withColumn("ts", F.to_timestamp("ts"))
     return raw
 
 
@@ -123,7 +135,7 @@ def clean_corpus_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = (
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(_stream_dir_for(f"{sf_dir}/documents.parquet"))
+        .parquet(_stream_dir_for(f"{sf_dir}/documents.parquet", schema.simpleString()))
     )
     return corpus_clean_transform(raw)
 
