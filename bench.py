@@ -87,6 +87,20 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).collect()
 
+    # Steady-state methodology: one untimed warm pass over the whole
+    # suite, then the timed pass. The first execution of a plan pays
+    # Janino codegen + JVM C2 compilation (measured 2-4× on small
+    # queries — and WHICH queries pay it depends only on suite
+    # iteration order, which the driver-priority rotation reshuffles
+    # every round). Timing the second execution measures the plan, not
+    # the classloader. Caches are drained between queries in both
+    # passes, so no data reuse crosses the warm/timed boundary.
+    # SPARK_GRAFT_BENCH_WARM=0 skips the warm pass (cold-start mode).
+    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
+        for name, spec in registry.all_queries().items():
+            registry.drain_cache_ledger()
+            spec.fn(spark, sf_dir).collect()
+
     timings: dict[str, float] = {}
     for name, spec in registry.all_queries().items():
         # each query is timed self-contained: persisted intermediates

@@ -1,0 +1,131 @@
+"""Driver-checkable twin of the messy-CSV ingestion path (S1/S14 +
+F9/F10/F11 — reference src/db/pipeline.py:227-234 null tokens, EU
+decimal comma, date parse).
+
+The round-1/round-2 gap this closes: `csv_ingest` was bench-timed but
+never hash-checked by the driver (the only registered surface with
+zero correctness rows). This query makes the ingest kit itself the
+unit under test:
+
+1. Export a deterministically *messy* CSV from `lineitem` (untimed
+   setup): pipe-delimited, EU-decimal-comma money strings, `#NO VALUE`
+   null tokens on a fixed key stripe, ISO date strings.
+2. Ingest it with the real kit (`ingest_csv_files`: all-string read →
+   null-token normalize → regex-gated EU-decimal parse → try_to_date →
+   schema align).
+3. Reduce to a hash-stable per-year aggregate (counts, null audit,
+   exact decimal sums cast to double at the boundary).
+
+The DuckDB oracle reads the SAME exported file with `read_csv` and
+applies the equivalent cleaning, so any divergence in the kit's
+null/decimal/date semantics breaks the hash.
+
+Scale posture: the export is test scaffolding; the measured path
+(read→clean→aggregate) is executor-parallel, single projection inside
+whole-stage codegen, no UDFs (see sources/csv.py module doc).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..catalog import load_table
+from ..registry import register
+from ..sources.csv import ingest_csv_files
+
+_EXPORT_DIR = os.path.join(tempfile.gettempdir(), "desc_csv_ingest_check")
+NULL_STRIPE = 97  # l_orderkey % 97 == 0 rows carry the '#NO VALUE' token
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("l_orderkey", T.LongType()),
+        T.StructField("l_quantity", T.DecimalType(18, 2)),
+        T.StructField("l_extendedprice", T.DecimalType(18, 2)),
+        T.StructField("l_shipdate", T.DateType()),
+    ]
+)
+
+
+def _export_messy_csv(spark: SparkSession, sf_dir: str) -> str:
+    """Write the deterministic messy-CSV fixture (reference raw-file
+    shape). Every value is either EU-numeric, an ISO date, or the
+    '#NO VALUE' token — matching the discovered token set (notebook
+    cell 21) — so the oracle's cleaning mirror stays exact."""
+    src = load_table(spark, sf_dir, "lineitem")
+    eu = lambda c: F.regexp_replace(  # noqa: E731 - tiny local formatter
+        F.regexp_replace(F.format_number(F.col(c), 2), ",", ""), r"\.", ","
+    )
+    (
+        src.select(
+            "l_orderkey",
+            eu("l_quantity").alias("l_quantity"),
+            F.when(F.col("l_orderkey") % NULL_STRIPE == 0, F.lit("#NO VALUE"))
+            .otherwise(eu("l_extendedprice"))
+            .alias("l_extendedprice"),
+            F.date_format("l_shipdate", "yyyy-MM-dd").alias("l_shipdate"),
+        )
+        .write.mode("overwrite")
+        .option("sep", "|")
+        .option("header", True)
+        .csv(_EXPORT_DIR)
+    )
+    return _EXPORT_DIR
+
+
+@register(
+    "csv_ingest_check",
+    oracle=f"""
+        WITH raw AS (
+            SELECT * FROM read_csv(
+                '{_EXPORT_DIR}/*.csv', header = true, delim = '|',
+                columns = {{'l_orderkey': 'VARCHAR', 'l_quantity': 'VARCHAR',
+                            'l_extendedprice': 'VARCHAR', 'l_shipdate': 'VARCHAR'}})
+        ),
+        clean AS (
+            SELECT TRY_CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                   TRY_CAST(REPLACE(NULLIF(l_quantity, '#NO VALUE'), ',', '.')
+                            AS DECIMAL(18,2)) AS l_quantity,
+                   TRY_CAST(REPLACE(NULLIF(l_extendedprice, '#NO VALUE'), ',', '.')
+                            AS DECIMAL(18,2)) AS l_extendedprice,
+                   TRY_CAST(NULLIF(l_shipdate, '#NO VALUE') AS DATE) AS l_shipdate
+            FROM raw
+        )
+        SELECT CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS ship_year,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COALESCE(SUM(CASE WHEN l_extendedprice IS NULL THEN 1 END), 0)
+                    AS BIGINT) AS n_null_price,
+               CAST(SUM(l_extendedprice) AS DOUBLE) AS total_price,
+               CAST(SUM(l_quantity) AS DOUBLE) AS total_qty
+        FROM clean
+        GROUP BY 1
+        ORDER BY 1
+    """,
+    doc="End-to-end hash check of the messy-CSV ingest kit (S1/S14, "
+    "F9/F10/F11): deterministic EU-decimal/null-token/ISO-date CSV "
+    "export of lineitem, ingested by the real kit, reduced to a "
+    "per-year audit aggregate; the oracle re-ingests the same file "
+    "with DuckDB read_csv.",
+    tags=("reference", "ingest", "cleaning"),
+)
+def csv_ingest_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    path = _export_messy_csv(spark, sf_dir)
+    ing = ingest_csv_files(spark, [path], _SCHEMA)
+    return (
+        ing.groupBy(F.year("l_shipdate").cast("bigint").alias("ship_year"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.coalesce(
+                F.sum(F.col("l_extendedprice").isNull().cast("bigint")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("n_null_price"),
+            F.sum("l_extendedprice").cast("double").alias("total_price"),
+            F.sum("l_quantity").cast("double").alias("total_qty"),
+        )
+        .orderBy("ship_year")
+    )

@@ -37,16 +37,23 @@ PLANES_PER_BAND = 8
 DIM = 64
 COSINE_DUP_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal;
 # a production near-dup run sets ~0.95+, where sign-LSH recall is high
-# IVF coarse cells: every CENT_STRIDE-th vector is a centroid seed — a
+# IVF coarse cells: every stride-th vector is a centroid seed — a
 # deterministic stand-in for trained KMeans that the oracle can replay.
 # Stride sampling matters: "first k ids" would draw every centroid from
 # whatever the first rows happen to be (in a clustered corpus, 1-2
 # clusters), collapsing the quantizer; a stride is an unbiased sample
-# of the corpus like KMeans random init. n/stride cells keep per-cell
-# candidate lists constant-size, but assignment cost is n × cells — at
-# production scale swap in trained KMeans with ~sqrt(n) cells (the
-# assignment stays one broadcast-centroids scan either way).
-CENT_STRIDE = 23  # coprime with QUERY_MOD so queries aren't all centroids
+# of the corpus like KMeans random init.
+#
+# The stride ADAPTS to corpus size: stride = max(23, floor(n/ceil(√n)))
+# ≈ √n, so the cell count is ~√n — the classic IVF balance point where
+# assignment (n × cells dot products) and per-cell rerank (n/cells
+# candidates per probe) grow at the same √n rate. A fixed stride would
+# make cells = n/23, i.e. assignment quadratic in n — fine at test SF,
+# a scale-killer at 100×. The floor of 23 (coprime with QUERY_MOD so
+# queries aren't all centroids) keeps tiny corpora at the historical
+# seeding. Both engines compute the stride from the same COUNT, so the
+# quantizer stays bit-replayable by the oracle at every SF.
+CENT_STRIDE_MIN = 23
 N_PROBE = 3
 # Trained-quantizer refinement (ann_ivf_trained_topk): Lloyd-style
 # iterations from the stride seeds, with the centroid update being the
@@ -401,9 +408,31 @@ def _ivf_search(e: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+# Adaptive stride as a 1-row broadcast frame / oracle CTE — cells ≈ √n
+# (see CENT_STRIDE_MIN comment). Computed engine-side from COUNT(*):
+# no collect, and the oracle replays the identical arithmetic.
+_STRIDE_SQL = (
+    f"SELECT GREATEST({CENT_STRIDE_MIN}, "
+    "CAST(FLOOR(COUNT(*) / GREATEST(CEIL(SQRT(COUNT(*))), 1)) AS BIGINT)) "
+    "AS stride FROM e"
+)
+
+
 def _stride_centroids(e: DataFrame) -> DataFrame:
-    return e.filter(F.col("vec_id") % CENT_STRIDE == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    n = F.count(F.lit(1))
+    params = e.agg(
+        F.greatest(
+            F.lit(CENT_STRIDE_MIN).cast("bigint"),
+            # GREATEST(·,1): an empty corpus must yield stride=23, not ÷0
+            F.floor(n / F.greatest(F.ceil(F.sqrt(n)), F.lit(1))).cast("bigint"),
+        ).alias("stride")
+    )
+    return (
+        e.crossJoin(F.broadcast(params))
+        .filter(F.col("vec_id") % F.col("stride") == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+        )
     )
 
 
@@ -463,8 +492,9 @@ def _kmedian_iter_sql(prev: str, out: str) -> str:
     "ann_ivf_topk",
     oracle=f"""
         WITH e AS ({_CORPUS_SQL}),
-        cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
-                  WHERE vec_id % {CENT_STRIDE} = 0),
+        params AS ({_STRIDE_SQL}),
+        cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e, params
+                  WHERE vec_id % stride = 0),
         {_IVF_SEARCH_SQL}
     """,
     doc="IVF-style ANN: corpus assigned to the nearest coarse cell; every "
@@ -486,8 +516,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_trained_topk",
     oracle=f"""
         WITH e AS ({_CORPUS_SQL}),
-        cents0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
-                   WHERE vec_id % {CENT_STRIDE} = 0),
+        params AS ({_STRIDE_SQL}),
+        cents0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e, params
+                   WHERE vec_id % stride = 0),
         {_kmedian_iter_sql('cents0', 'cents1')},
         {_kmedian_iter_sql('cents1', 'cents')},
         {_IVF_SEARCH_SQL}
@@ -517,8 +548,9 @@ SEMDEDUP_THRESHOLD = 0.4  # matches COSINE_DUP_THRESHOLD for this corpus
     "semantic_dedup",
     oracle=f"""
         WITH e AS ({_CORPUS_SQL}),
-        cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e
-                  WHERE vec_id % {CENT_STRIDE} = 0),
+        params AS ({_STRIDE_SQL}),
+        cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e, params
+                  WHERE vec_id % stride = 0),
         a2 AS (
             SELECT vec_id, cell FROM (
                 SELECT e.vec_id, cent_id AS cell,

@@ -50,63 +50,55 @@ def register(
 
 
 # A correctness harness that samples a prefix of the registry (the
-# round-1 driver checked the first 50 of 72) must see the queries with
-# the least accumulated evidence first: (a) queries that have never had
-# a driver row, (b) queries whose output contract changed this round
-# (decimal->double / HUGEINT->BIGINT boundary casts). Long-green
-# queries keep their historical rows and can safely sit past the
-# prefix. This is pure iteration order — membership and semantics are
-# unchanged.
+# driver checks the first ~50) must see the queries with the least
+# accumulated evidence first: (a) queries that have never had a driver
+# row, (b) queries whose implementation changed since their last green
+# row, (c) the cohort still riding on round-1 rows. Long-green queries
+# with fresh rows keep their historical evidence and can safely sit
+# past the prefix. This is pure iteration order — membership and
+# semantics are unchanged. Rotated each round (round 3: the 30
+# r1-row-only queries + everything touched by the round-3 ledger/IVF/
+# graph changes).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-checked in round 1 (VERDICT.md r1 "What's missing" #1)
-    "contract_violations",
-    "invalid_rows",
-    "invalid_values",
-    "placeholder_discovery",
-    "value_format_profile_events",
-    "events_json_extract",
-    "events_props_map",
-    "events_variant_extract",
-    "top3_parts_per_supplier",
-    "revenue_running_total",
-    "sessionize_events",
-    "events_hourly",
-    "events_sliding_1h30m",
-    "events_session_window",
-    "sales_rollup",
-    "daily_revenue_analytics",
-    "events_by_hour_of_day",
-    "priority_price_extremes",
-    "tfidf_top_terms",
-    "clean_corpus",
-    "doc_sentences",
-    "stable_split",
-    # new in round 2 (no prior row by construction)
+    # never driver-checked (new this round)
+    "csv_ingest_check",
+    # implementation changed round 3: adaptive ~sqrt(n) IVF stride
+    "ann_ivf_topk",
     "ann_ivf_trained_topk",
-    "decontaminate_split",
-    "repetition_profile",
-    "sample_mixture",
-    "pii_scrub",
-    "dedup_savings",
-    "pack_sequences",
     "semantic_dedup",
-    # output contract changed in round 2 (sliced-digest minhash family)
+    # implementation changed round 3: persist ledger + CC localCheckpoint
+    "dedup_clusters",
+    "exact_dedup",
+    "simhash_pairs",
+    "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
-    # output contract changed in round 2 (decimal/int128 boundary casts)
-    "revenue_per_day",
-    "top10_units",
-    "pricing_summary",
-    "sales_cube",
-    "local_supplier_volume",
-    "nation_trade_balance",
-    "acctbal_grouping_sets",
-    "promo_revenue_share",
-    "column_stats_orders",
-    "margin_signature_2months",
-    "margin_signature_60days",
-    "small_parts_revenue",
-    "shipping_priority_top10",
-    "orders_merge_upsert",
+    "embedding_cosine_pairs",
+    "ann_topk",
+    "ann_lsh_topk",
+    "decontaminate_split",
+    # riding on round-1 rows only (VERDICT.md r2 "Next round" #4)
+    "table_profile",
+    "quantity_quartiles",
+    "orders_status_priority_pivot",
+    "order_measures_unpivot",
+    "clicks_asof_purchase",
+    "purchase_click_context",
+    "multimodal_meta",
+    "multimodal_frames",
+    "user_value_trend",
+    "totalprice_histogram",
+    "customers_without_orders",
+    "suppliers_of_promo_parts",
+    "customer_order_distribution",
+    "orders_with_discounted_lines",
+    "tx_per_store_salted",
+    "approx_distinct_check",
+    "approx_quantiles_check",
+    "token_counts",
+    "doc_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "bpe_token_counts",
 )
 
 
@@ -197,6 +189,7 @@ def _load_all() -> None:
     from .operators import (  # noqa: F401
         dedup,
         graph,
+        ingest_check,
         merge,
         multimodal,
         pipeline_ops,
