@@ -42,7 +42,9 @@ def _stream_dir_for(path: str, token: str = "") -> str:
     )
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(path))
-    if not os.path.exists(link):
+    # lexists, not exists: exists() follows the link, so a dangling
+    # symlink (source moved) would look absent and re-symlink → EEXIST
+    if not os.path.lexists(link):
         os.symlink(path, link)
     return d
 

@@ -14,6 +14,20 @@ from data_engineering_challenge_spark.streaming.pipelines import (
 from data_engineering_challenge_spark.testing import compare
 
 
+def test_stream_staging_dir_is_content_addressed():
+    """A staging dir keyed on (path, resolved-schema token): a schema
+    change MUST re-stage, same inputs MUST reuse — this is what stops a
+    stale /tmp copy from masking a source-type change (the round-2
+    fresh-environment streaming failure)."""
+    from data_engineering_challenge_spark.streaming.pipelines import _stream_dir_for
+
+    a = _stream_dir_for("/some/events.parquet", "struct<ts:bigint>")
+    b = _stream_dir_for("/some/events.parquet", "struct<ts:timestamp_ntz>")
+    c = _stream_dir_for("/some/events.parquet", "struct<ts:bigint>")
+    assert a != b, "schema change must map to a fresh staging dir"
+    assert a == c, "identical (path, schema) must reuse the same dir"
+
+
 def test_streaming_hourly_matches_batch(spark, sf_dir):
     s = hourly_event_counts_stream(spark, sf_dir)
     assert s.isStreaming
