@@ -71,25 +71,27 @@ _BOUND = 0.05  # acceptance gate, >5 sigma for both engines
     tags=("sketch", "profiling", "extension"),
 )
 def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One column-pruned DISTINCT per column, with BOTH the exact count
+    # and the HLL estimate read off the deduplicated stream. Two wins
+    # over a single multi-distinct agg: (a) no Expand — N distinct
+    # aggregates in one agg multiply every scanned row N+1 times before
+    # the exchange (measured 2.4x slower at sf0.1); (b) HLL registers
+    # are a pure function of the value SET, so sketching after distinct
+    # yields the bit-identical estimate while the map-side partial
+    # distinct collapses the shuffle to unique values per partition.
     parts = []
     for table, cols in _COLS.items():
         df = load_table(spark, sf_dir, table)
-        aggs = []
         for c in cols:
-            aggs.append(F.countDistinct(c).alias(f"e_{c}"))
-            aggs.append(F.approx_count_distinct(c, _RSD).alias(f"a_{c}"))
-        one = df.agg(*aggs)
-        # stack the 1-row agg to long form so each table is scanned and
-        # aggregated exactly once (no common-subplan recompute per column)
-        stack_args = ", ".join(f"'{table}.{c}', e_{c}, a_{c}" for c in cols)
-        parts.append(
-            one.select(
-                F.expr(
-                    f"stack({len(cols)}, {stack_args}) "
-                    "AS (column_name, exact_distinct, approx)"
+            parts.append(
+                df.select(c)
+                .distinct()
+                .agg(
+                    F.count(F.lit(1)).alias("exact_distinct"),
+                    F.approx_count_distinct(c, _RSD).alias("approx"),
                 )
+                .select(F.lit(f"{table}.{c}").alias("column_name"), "exact_distinct", "approx")
             )
-        )
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
