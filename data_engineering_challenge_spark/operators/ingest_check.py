@@ -55,7 +55,22 @@ def _export_messy_csv(spark: SparkSession, sf_dir: str) -> str:
     """Write the deterministic messy-CSV fixture (reference raw-file
     shape). Every value is either EU-numeric, an ISO date, or the
     '#NO VALUE' token — matching the discovered token set (notebook
-    cell 21) — so the oracle's cleaning mirror stays exact."""
+    cell 21) — so the oracle's cleaning mirror stays exact.
+
+    The export is test SCAFFOLDING (the capability under test is the
+    ingest kit, which both engines run over the same file), so a
+    marker records which sf_dir produced the current fixture and
+    repeat runs at the same sf skip the rewrite; any sf change
+    re-exports because the oracle reads the same fixed path."""
+    marker = os.path.join(tempfile.gettempdir(), "desc_csv_ingest_check.src")
+    try:
+        with open(marker) as fh:
+            if fh.read() == sf_dir and os.path.exists(
+                os.path.join(_EXPORT_DIR, "_SUCCESS")
+            ):
+                return _EXPORT_DIR
+    except OSError:
+        pass
     src = load_table(spark, sf_dir, "lineitem")
     eu = lambda c: F.regexp_replace(  # noqa: E731 - tiny local formatter
         F.regexp_replace(F.format_number(F.col(c), 2), ",", ""), r"\.", ","
@@ -74,6 +89,8 @@ def _export_messy_csv(spark: SparkSession, sf_dir: str) -> str:
         .option("header", True)
         .csv(_EXPORT_DIR)
     )
+    with open(marker, "w") as fh:
+        fh.write(sf_dir)
     return _EXPORT_DIR
 
 
