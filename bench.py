@@ -87,20 +87,20 @@ def main() -> None:
     for df in load_tables(spark, sf_dir).values():
         df.limit(1).collect()
 
-    # Steady-state methodology: two timed passes over the whole suite,
-    # report the per-query MINIMUM. The first execution of a plan pays
-    # Janino codegen + JVM C2 compilation (measured 2-4× on small
-    # queries — and WHICH queries pay it depends only on suite
-    # iteration order, which the driver-priority rotation reshuffles
-    # every round); late in a long-lived session, accumulated JVM state
-    # (broadcasts, shuffle files, codegen cache churn) adds noise in
-    # the other direction. min-of-2 measures the plan, not the
-    # classloader or the session's age. Caches are drained between
-    # queries in every pass, so no data reuse crosses pass boundaries.
+    # Steady-state methodology: two full timed passes over the suite,
+    # reporting the per-query MINIMUM. The first execution of a plan
+    # pays Janino codegen + JVM C2 compilation (measured 2-4× on small
+    # queries and ~2× even on multi-stage heavy ones — and WHICH
+    # queries pay it depends only on suite iteration order, which the
+    # driver-priority rotation reshuffles every round); late in a
+    # long-lived session, accumulated JVM state adds noise the other
+    # way. min-of-2 measures the plan, not the classloader or the
+    # session's age. Caches are drained between queries in every pass
+    # (no data reuse crosses pass boundaries).
     # SPARK_GRAFT_BENCH_REPS=1 restores single-pass (cold-start mode).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
-    for _ in range(max(reps, 1)):
+    for rep in range(max(reps, 1)):
         for name, spec in registry.all_queries().items():
             # each query is timed self-contained: persisted intermediates
             # from earlier queries (tracked in the registry's persist
