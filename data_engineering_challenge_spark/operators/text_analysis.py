@@ -443,3 +443,84 @@ def clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_tokens")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "source_quality_rollup",
+    oracle=f"""
+        WITH per_doc AS (
+            SELECT source, lang,
+                   md5({_NORM_SQL}) AS fp,
+                   len({_TOK_SQL}) AS n_tokens,
+                   len(list_distinct({_TOK_SQL})) AS n_unique
+            FROM documents
+        ),
+        s AS (
+            SELECT source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct_docs,
+                   CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                   CAST(SUM(CASE WHEN n_tokens BETWEEN 5 AND 500
+                                  AND n_unique / n_tokens > 0.2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_quality
+            FROM per_doc
+            GROUP BY source
+        )
+        SELECT source, n_docs, total_tokens, n_langs,
+               total_tokens / n_docs AS mean_tokens,
+               (n_docs - n_distinct_docs) / n_docs AS dup_share,
+               n_quality / n_docs AS quality_share,
+               n_quality / n_docs >= 0.5 AND
+                   (n_docs - n_distinct_docs) / n_docs <= 0.5 AS keep_source
+        FROM s
+        ORDER BY source
+    """,
+    doc="Per-source (domain-level) corpus triage — the CCNet/RefinedWeb-"
+    "style rollup that decides which sources enter a training mix: doc "
+    "and token volume, exact-dup share (content fingerprints), quality-"
+    "pass share (doc_quality's gate), language spread, and the "
+    "keep/drop decision. Scale: one scan, one shuffle on the source "
+    "key; fingerprint distincts partial-aggregate per source (hot "
+    "sources skew-salt like any high-cardinality groupBy).",
+    tags=("text", "profiling", "extension"),
+)
+def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # staged projections: normalize once, tokenize once (see token_counts)
+    per_doc = d.select(
+        "source", "lang", normalize_text(F.col("text")).alias("nrm")
+    ).select(
+        "source",
+        "lang",
+        F.md5(F.col("nrm").cast("binary")).alias("fp"),
+        F.split("nrm", " ").alias("t"),
+    ).select(
+        "source",
+        "lang",
+        "fp",
+        F.size("t").alias("n_tokens"),
+        F.size(F.array_distinct("t")).alias("n_unique"),
+    )
+    quality_ok = F.col("n_tokens").between(5, 500) & (
+        F.col("n_unique") / F.col("n_tokens") > 0.2
+    )
+    s = per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.countDistinct("fp").alias("n_distinct_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(quality_ok.cast("int")).cast("bigint").alias("n_quality"),
+    )
+    dup_share = (F.col("n_docs") - F.col("n_distinct_docs")) / F.col("n_docs")
+    quality_share = F.col("n_quality") / F.col("n_docs")
+    return s.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_langs",
+        (F.col("total_tokens") / F.col("n_docs")).alias("mean_tokens"),
+        dup_share.alias("dup_share"),
+        quality_share.alias("quality_share"),
+        ((quality_share >= 0.5) & (dup_share <= 0.5)).alias("keep_source"),
+    ).orderBy("source")
