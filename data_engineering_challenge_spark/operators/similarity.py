@@ -604,3 +604,66 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", "cell", F.col("dropped").isNull().alias("is_kept"))
         .orderBy("vec_id")
     )
+
+
+@register(
+    "ivf_cell_purity",
+    oracle=f"""
+        WITH e AS ({_CORPUS_SQL}),
+        params AS ({_STRIDE_SQL}),
+        cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e, params
+                  WHERE vec_id % stride = 0),
+        a2 AS (
+            SELECT vec_id, cell FROM (
+                SELECT e.vec_id, cent_id AS cell,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY e.vec_id
+                           ORDER BY {_DOT_SQL.format(a='e.v', b='cv')} / (e.nrm * cn)
+                                    DESC, cent_id
+                       ) AS crnk
+                FROM e CROSS JOIN cents
+            ) WHERE crnk = 1
+        ),
+        s AS (
+            SELECT cell, emb.label, COUNT(*) AS n
+            FROM a2 JOIN embeddings emb USING (vec_id)
+            GROUP BY cell, emb.label
+        )
+        SELECT cell,
+               CAST(SUM(n) AS BIGINT) AS n_vecs,
+               CAST(COUNT(*) AS BIGINT) AS n_labels,
+               CAST(MAX(n) AS BIGINT) / CAST(SUM(n) AS BIGINT) AS top_label_share
+        FROM s
+        GROUP BY cell
+        ORDER BY cell
+    """,
+    doc="Coarse-quantizer quality as a first-class, driver-checked "
+    "query: every vector assigned to its nearest adaptive-stride cell, "
+    "then per-cell purity against the corpus's planted labels "
+    "(majority-label share, label spread). The approximation-quality "
+    "audit an ANN deployment runs after (re)training its quantizer — "
+    "deterministic, so the oracle replays assignment + purity exactly. "
+    "Scale: one broadcast-centroids assignment scan, one (cell, label) "
+    "partial-agg shuffle.",
+    tags=("similarity", "ivf", "profiling", "extension"),
+)
+def ivf_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_with_norm(spark, sf_dir)
+    labels = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    assign = _assign_nearest(e, _stride_centroids(e)).select("vec_id", "cell")
+    s = (
+        assign.join(labels, "vec_id")
+        .groupBy("cell", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        s.groupBy("cell")
+        .agg(
+            F.sum("n").cast("bigint").alias("n_vecs"),
+            F.count(F.lit(1)).alias("n_labels"),
+            (F.max("n").cast("bigint") / F.sum("n").cast("bigint")).alias(
+                "top_label_share"
+            ),
+        )
+        .orderBy("cell")
+    )

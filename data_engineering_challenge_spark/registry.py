@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # never driver-checked (new this round)
     "csv_ingest_check",
     "source_quality_rollup",
+    "ivf_cell_purity",
     # implementation changed round 3: adaptive ~sqrt(n) IVF stride
     "ann_ivf_topk",
     "ann_ivf_trained_topk",

@@ -192,6 +192,7 @@ _BNLJ_BY_DESIGN = {
     "ann_ivf_topk",           # broadcast centroids x corpus scan
     "ann_ivf_trained_topk",   # broadcast centroids (trained) x corpus scan
     "semantic_dedup",         # broadcast centroids x corpus scan
+    "ivf_cell_purity",        # broadcast centroids x corpus scan
     "margin_signature_2months",  # 1-row date-bounds frame
     "margin_signature_60days",   # 1-row date-bounds frame
     "tfidf_top_terms",        # 1-row corpus-size frame
