@@ -524,3 +524,59 @@ def source_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         quality_share.alias("quality_share"),
         ((quality_share >= 0.5) & (dup_share <= 0.5)).alias("keep_source"),
     ).orderBy("source")
+
+
+RARE_DF_MAX = 2  # a token is "rare" if it appears in <= 2 documents
+
+
+@register(
+    "rare_token_profile",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, unnest(list_distinct({_TOK_SQL})) AS tok
+            FROM documents
+        ),
+        df AS (SELECT tok, COUNT(*) AS dfreq FROM t GROUP BY tok)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_vocab,
+               CAST(SUM(CASE WHEN dfreq <= {RARE_DF_MAX} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_rare,
+               CAST(SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_hapax,
+               SUM(CASE WHEN dfreq <= {RARE_DF_MAX} THEN 1 ELSE 0 END)
+                   / COUNT(*) AS rare_ratio
+        FROM t JOIN df USING (tok)
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """,
+    doc="Rare-token quality signal: per document, the share of its "
+    "vocabulary whose corpus document-frequency is <= "
+    f"{RARE_DF_MAX} (plus hapax count) — a deterministic stand-in for "
+    "LM-perplexity gibberish detection built entirely from integer "
+    "counts and one exact division (no transcendentals, so both "
+    "engines agree bit-exactly; a log-prob score would hinge on libm "
+    "rounding). Scale: doc-distinct tokens explode once, document "
+    "frequencies partial-aggregate on the token key, and the "
+    "token->df join shuffles vocabulary-sized data only.",
+    tags=("text", "profiling", "extension"),
+)
+def rare_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    # staged projections: normalize once, tokenize once (see token_counts)
+    t = d.select("doc_id", normalize_text(F.col("text")).alias("nrm")).select(
+        "doc_id", F.explode(F.array_distinct(F.split("nrm", " "))).alias("tok")
+    )
+    dfreq = t.groupBy("tok").agg(F.count(F.lit(1)).alias("dfreq"))
+    rare = (F.col("dfreq") <= RARE_DF_MAX).cast("int")
+    hapax = (F.col("dfreq") == 1).cast("int")
+    return (
+        t.join(dfreq, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_vocab"),
+            F.sum(rare).cast("bigint").alias("n_rare"),
+            F.sum(hapax).cast("bigint").alias("n_hapax"),
+            (F.sum(rare) / F.count(F.lit(1))).alias("rare_ratio"),
+        )
+        .orderBy("doc_id")
+    )

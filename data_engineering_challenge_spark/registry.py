@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "csv_ingest_check",
     "source_quality_rollup",
     "ivf_cell_purity",
+    "rare_token_profile",
     # implementation changed round 3: adaptive ~sqrt(n) IVF stride
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
