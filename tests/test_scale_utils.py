@@ -60,3 +60,47 @@ def test_bucketed_join_runs_without_shuffle(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(128 * 1024 * 1024))
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_ivf_stride_scales_as_sqrt_n(spark):
+    """The adaptive coarse-quantizer stride must grow ~sqrt(n): cells =
+    n/stride ~ sqrt(n) keeps assignment n*sqrt(n) (a fixed stride makes
+    it quadratic — the round-2 scale-killer). Pin the arithmetic at a
+    corpus size where sqrt dominates the floor."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.operators.similarity import (
+        _stride_centroids,
+    )
+
+    n = 40_000
+    e = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0)).alias("v"),
+        F.lit(1.0).alias("nrm"),
+    )
+    cells = _stride_centroids(e).count()
+    # stride = max(23, floor(n / ceil(sqrt(n)))) = 200 -> 200 cells
+    assert cells == n // 200
+    # and a tiny corpus keeps the historical floor of 23
+    tiny = spark.range(500).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0)).alias("v"),
+        F.lit(1.0).alias("nrm"),
+    )
+    assert _stride_centroids(tiny).count() == len(range(0, 500, 23))
+
+
+def test_persist_ledger_drains_exactly_tracked_frames(spark):
+    """track_persist caches; drain_cache_ledger unpersists exactly the
+    tracked frames (the bounded-cache contract that replaced blanket
+    clearCache)."""
+    from data_engineering_challenge_spark import registry
+
+    df = spark.range(1000).selectExpr("id", "id * 2 AS v")
+    registry.track_persist(df)
+    df.count()
+    assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    registry.drain_cache_ledger()
+    assert not (df.storageLevel.useMemory or df.storageLevel.useDisk)
+    assert not registry._CACHE_LEDGER
