@@ -361,3 +361,100 @@ def tx_per_store_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     l = load_table(spark, sf_dir, "lineitem")
     return salted_count_distinct(l, "l_suppkey", "l_orderkey").orderBy("l_suppkey")
+
+
+@register(
+    "blamed_suppliers",
+    oracle="""
+        WITH per_order AS (
+            SELECT l_orderkey,
+                   COUNT(DISTINCT l_suppkey) AS n_supps,
+                   COUNT(DISTINCT CASE WHEN l_returnflag = 'R'
+                                       THEN l_suppkey END) AS n_ret
+            FROM lineitem GROUP BY l_orderkey
+        ),
+        r AS (SELECT DISTINCT l_orderkey, l_suppkey
+              FROM lineitem WHERE l_returnflag = 'R')
+        SELECT l_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM r JOIN per_order USING (l_orderkey)
+        WHERE n_supps >= 2 AND n_ret = 1
+        GROUP BY l_suppkey
+        ORDER BY numwait DESC, l_suppkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): supplier "
+    "had a returned line on a multi-supplier order where NO other "
+    "supplier's lines were returned — the EXISTS + NOT-EXISTS "
+    "correlated pair rewritten as one per-order aggregation "
+    "(n_supps>=2 AND n_ret=1) joined back to the returned lines: two "
+    "shuffles on l_orderkey total, no repeated correlated scans of "
+    "lineitem. Top-k with a key tie-break plans as "
+    "TakeOrderedAndProject.",
+    tags=("join", "subquery", "topk", "extension"),
+)
+def blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    ret = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+    per_order = l.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supps"),
+        F.countDistinct(ret).alias("n_ret"),
+    )
+    r = (
+        l.filter(F.col("l_returnflag") == "R")
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    return (
+        r.join(per_order, "l_orderkey")
+        .filter((F.col("n_supps") >= 2) & (F.col("n_ret") == 1))
+        .groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("l_suppkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "idle_customers_balance",
+    oracle="""
+        WITH thr AS (
+            SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+                       / COUNT(*) AS avg_bal
+            FROM customer WHERE c_acctbal > 0.0
+        )
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        FROM customer, thr
+        WHERE c_acctbal > avg_bal
+          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        GROUP BY c_nationkey
+        ORDER BY c_nationkey
+    """,
+    doc="TPC-H Q22 shape (well-funded customers who never ordered): "
+    "scalar-subquery threshold (exact decimal sum / count — "
+    "partition-invariant, unlike a float AVG) + anti-join against "
+    "orders, aggregated per nation. The threshold is a 1-row broadcast "
+    "frame (no collect round-trip); the anti-join plans as a "
+    "broadcast/shuffled left-anti hash join, never a per-row probe.",
+    tags=("join", "anti", "subquery", "extension"),
+)
+def idle_customers_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    thr = c.filter(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
+            "avg_bal"
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum(F.col("c_acctbal").cast(DEC)).cast("double").alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )

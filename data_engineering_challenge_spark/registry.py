@@ -65,6 +65,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "source_quality_rollup",
     "ivf_cell_purity",
     "rare_token_profile",
+    "blamed_suppliers",
+    "idle_customers_balance",
     # implementation changed round 3: adaptive ~sqrt(n) IVF stride
     "ann_ivf_topk",
     "ann_ivf_trained_topk",

@@ -195,6 +195,7 @@ _BNLJ_BY_DESIGN = {
     "ivf_cell_purity",        # broadcast centroids x corpus scan
     "margin_signature_2months",  # 1-row date-bounds frame
     "margin_signature_60days",   # 1-row date-bounds frame
+    "idle_customers_balance",    # 1-row avg-balance threshold frame
     "tfidf_top_terms",        # 1-row corpus-size frame
     "totalprice_histogram",   # 1-row min/max bounds frame
 }
