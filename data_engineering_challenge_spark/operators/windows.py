@@ -438,3 +438,53 @@ def priority_price_extremes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w_full).alias("second_cheapest_key"),
         F.cume_dist().over(w_ord).alias("price_cume_dist"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "revenue_daily_deltas",
+    oracle="""
+        WITH d AS (
+            SELECT CAST(o_orderdate AS DATE) AS order_date,
+                   CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                       AS revenue
+            FROM orders GROUP BY 1
+        )
+        SELECT order_date, revenue,
+               revenue - LAG(revenue) OVER w AS delta,
+               (revenue - LAG(revenue) OVER w) / LAG(revenue) OVER w
+                   AS pct_change,
+               LEAD(revenue) OVER w AS next_revenue,
+               CAST(NTILE(4) OVER (ORDER BY revenue, order_date) AS BIGINT)
+                   AS revenue_quartile,
+               PERCENT_RANK() OVER (ORDER BY revenue, order_date)
+                   AS revenue_pct_rank
+        FROM d WINDOW w AS (ORDER BY order_date)
+        ORDER BY order_date
+    """,
+    doc="Day-over-day revenue analytics: LAG/LEAD deltas and percent "
+    "change over the date sequence, NTILE(4) and PERCENT_RANK over the "
+    "revenue distribution (tie-broken on the unique date, so every "
+    "window value is deterministic; percent change divides exact "
+    "decimal-derived doubles). Scale note: the global window runs over "
+    "the per-DAY aggregate (O(days) rows after a partial+final hash "
+    "agg), never over raw orders — a single-partition sort of a few "
+    "thousand rows, not a single-partition sort of the fact table.",
+    tags=("window", "analytics", "extension"),
+)
+def revenue_daily_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    d = o.groupBy(F.col("o_orderdate").cast("date").alias("order_date")).agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("revenue")
+    )
+    w = W.orderBy("order_date")
+    wr = W.orderBy("revenue", "order_date")
+    prev = F.lag("revenue").over(w)
+    return d.select(
+        "order_date",
+        "revenue",
+        (F.col("revenue") - prev).alias("delta"),
+        ((F.col("revenue") - prev) / prev).alias("pct_change"),
+        F.lead("revenue").over(w).alias("next_revenue"),
+        F.ntile(4).over(wr).cast("bigint").alias("revenue_quartile"),
+        F.percent_rank().over(wr).alias("revenue_pct_rank"),
+    ).orderBy("order_date")

@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "rare_token_profile",
     "blamed_suppliers",
     "idle_customers_balance",
+    "revenue_daily_deltas",
     # implementation changed round 3: adaptive ~sqrt(n) IVF stride
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
