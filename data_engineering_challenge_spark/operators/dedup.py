@@ -202,10 +202,10 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "minhash_lsh_pairs",
-    oracle=f"""
-        WITH g AS ({_GRAMS_SQL}),
+# Shared oracle CTE chain: grams → sliced-digest signatures → bands →
+# hot-bucket cap → candidate pairs. Used verbatim by minhash_lsh_pairs
+# and by the precision audit, so both verify the SAME candidate set.
+_MINHASH_CAND_SQL = f"""g AS ({_GRAMS_SQL}),
         hh AS (
             SELECT doc_id, sha256(gram) AS d1, sha256('x:' || gram) AS d2 FROM g
         ),
@@ -234,7 +234,45 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM capped a
             JOIN capped b ON a.b = b.b AND a.bh = b.bh AND a.doc_id < b.doc_id
-        )
+        )"""
+
+
+def _lsh_candidates(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from banded signatures with the
+    hot-bucket cap — the shared head of minhash_lsh_pairs and the
+    precision audit (same pairs both queries verify)."""
+    rows_per_band = NUM_MINHASH // MINHASH_BANDS
+    band_hashes = F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|", *[F.col("s").getItem(b * rows_per_band + i) for i in range(rows_per_band)]
+                ).cast("binary")
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.posexplode(band_hashes).alias("b", "bh"))
+    # hot-bucket cap: the windowed count shuffles on exactly the join
+    # key (b, bh), so the filter costs no extra exchange and the
+    # quadratic self-join below never sees a bucket above the cap
+    bucket_w = W.partitionBy("b", "bh")
+    bands = bands.withColumn("bsz", F.count(F.lit(1)).over(bucket_w)).filter(
+        F.col("bsz") <= MAX_BAND_BUCKET
+    ).drop("bsz")
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+
+@register(
+    "minhash_lsh_pairs",
+    oracle=f"""
+        WITH {_MINHASH_CAND_SQL}
         SELECT doc_a, doc_b, est_jaccard FROM (
             SELECT doc_a, doc_b,
                    len(list_filter(range(1, {NUM_MINHASH + 1}),
@@ -259,31 +297,7 @@ def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_signatures(spark, sf_dir)
-    rows_per_band = NUM_MINHASH // MINHASH_BANDS
-    band_hashes = F.array(
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|", *[F.col("s").getItem(b * rows_per_band + i) for i in range(rows_per_band)]
-                ).cast("binary")
-            )
-            for b in range(MINHASH_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.posexplode(band_hashes).alias("b", "bh"))
-    # hot-bucket cap: the windowed count shuffles on exactly the join
-    # key (b, bh), so the filter costs no extra exchange and the
-    # quadratic self-join below never sees a bucket above the cap
-    bucket_w = W.partitionBy("b", "bh")
-    bands = bands.withColumn("bsz", F.count(F.lit(1)).over(bucket_w)).filter(
-        F.col("bsz") <= MAX_BAND_BUCKET
-    ).drop("bsz")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
+    cand = _lsh_candidates(sig)
     sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     eq = F.zip_with("s_a", "s_b", lambda x, y: (x == y).cast("int"))
@@ -293,6 +307,93 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", est.alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+@register(
+    "minhash_precision_audit",
+    oracle=f"""
+        WITH {_MINHASH_CAND_SQL},
+        est AS (
+            SELECT doc_a, doc_b,
+                   len(list_filter(range(1, {NUM_MINHASH + 1}),
+                                   i -> sa.s[i] = sb.s[i])) / {NUM_MINHASH}.0
+                       AS est_jaccard
+            FROM cand
+            JOIN sig sa ON sa.doc_id = doc_a
+            JOIN sig sb ON sb.doc_id = doc_b
+        ),
+        sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+            FROM cand c
+            JOIN g a ON a.doc_id = c.doc_a
+            JOIN g b ON b.doc_id = c.doc_b AND b.gram = a.gram
+            GROUP BY 1, 2
+        )
+        SELECT e.doc_a, e.doc_b, est_jaccard,
+               COALESCE(n_common, 0) / (sa.n + sb.n - COALESCE(n_common, 0))
+                   AS exact_jaccard,
+               ABS(est_jaccard
+                   - COALESCE(n_common, 0)
+                     / (sa.n + sb.n - COALESCE(n_common, 0))) AS abs_err
+        FROM est e
+        LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+        JOIN sz sa ON sa.doc_id = e.doc_a
+        JOIN sz sb ON sb.doc_id = e.doc_b
+        ORDER BY e.doc_a, e.doc_b
+    """,
+    doc="Sketch-quality audit for the MinHash estimator: every LSH "
+    "candidate pair scored with BOTH the 16-perm signature estimate "
+    "and the exact n-gram Jaccard, plus the absolute error - the "
+    "estimator-calibration report a dedup deployment reviews before "
+    "trusting a threshold. Exact Jaccard is computed ONLY for "
+    "candidate pairs (gram join pre-filtered by the candidate list), "
+    "so the audit stays near-linear - never the all-pairs quadratic.",
+    tags=("dedup", "lsh", "profiling", "extension"),
+)
+def minhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signatures(spark, sf_dir)
+    cand = _lsh_candidates(sig)
+    sa_sig = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb_sig = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    eq = F.zip_with("s_a", "s_b", lambda x, y: (x == y).cast("int"))
+    est_col = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(NUM_MINHASH)
+    est = (
+        cand.join(sa_sig, "doc_a")
+        .join(sb_sig, "doc_b")
+        .select("doc_a", "doc_b", est_col.alias("est_jaccard"))
+    )
+    g = _reused(_distinct_grams(spark, sf_dir))
+    d = load_table(spark, sf_dir, "documents")
+    sz = d.select(
+        "doc_id",
+        F.size(F.array_distinct(word_ngrams(tokens(F.col("text")), 3))).alias("n"),
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), "gram")
+    gb = g.select(F.col("doc_id").alias("doc_b2"), F.col("gram").alias("gram2"))
+    inter = (
+        cand.join(ga, "doc_a")
+        .join(gb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("gram") == F.col("gram2")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sza = sz.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("n_a"))
+    szb = sz.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("n_b"))
+    nc = F.coalesce(F.col("n_common"), F.lit(0))
+    exact = nc / (F.col("n_a") + F.col("n_b") - nc)
+    return (
+        est.join(inter, ["doc_a", "doc_b"], "left")
+        .join(sza, "doc_a")
+        .join(szb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "est_jaccard",
+            exact.alias("exact_jaccard"),
+            F.abs(F.col("est_jaccard") - exact).alias("abs_err"),
+        )
         .orderBy("doc_a", "doc_b")
     )
 

@@ -68,6 +68,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "blamed_suppliers",
     "idle_customers_balance",
     "revenue_daily_deltas",
+    "minhash_precision_audit",
     # implementation changed round 3: adaptive ~sqrt(n) IVF stride
     "ann_ivf_topk",
     "ann_ivf_trained_topk",
