@@ -174,11 +174,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MH_SLICES_PER_DIGEST = 8  # 64 hex chars / 8
 
 
-def _minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_signatures(
+    spark: SparkSession, sf_dir: str, grams: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, s: array<long>[16]) — per-slice minima of the two
     sha256 digests. One aggregation with 16 min() columns: a single
-    shuffle of (doc_id, 16 longs); digests are computed map-side."""
-    g = _distinct_grams(spark, sf_dir)
+    shuffle of (doc_id, 16 longs); digests are computed map-side.
+    Pass `grams` to reuse an already-materialized gram frame (the
+    precision audit consumes grams twice: signatures + exact side)."""
+    g = grams if grams is not None else _distinct_grams(spark, sf_dir)
     d1 = F.sha2(F.col("gram").cast("binary"), 256)
     d2 = F.sha2(F.concat(F.lit("x:"), F.col("gram")).cast("binary"), 256)
     hh = g.select("doc_id", d1.alias("d1"), d2.alias("d2"))
@@ -354,7 +358,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "lsh", "profiling", "extension"),
 )
 def minhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _minhash_signatures(spark, sf_dir)
+    # one materialized gram frame feeds BOTH the signature pass and the
+    # exact-Jaccard side — the tokenize/ngram/explode chain (the
+    # dominant cost) runs once, not twice
+    g = _reused(_distinct_grams(spark, sf_dir))
+    sig = _minhash_signatures(spark, sf_dir, grams=g)
     cand = _lsh_candidates(sig)
     sa_sig = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb_sig = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
@@ -365,7 +373,6 @@ def minhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb_sig, "doc_b")
         .select("doc_a", "doc_b", est_col.alias("est_jaccard"))
     )
-    g = _reused(_distinct_grams(spark, sf_dir))
     d = load_table(spark, sf_dir, "documents")
     sz = d.select(
         "doc_id",
