@@ -21,8 +21,14 @@ Scale design (100 TB posture):
   nodes at diameter d — analyzer/plan-rendering blowup long before
   the data is ever recomputed; a 100-node chain OOMed the driver at
   depth ~10). With a leaf per generation every iteration plans over
-  two cached leaves, period. Previous generations unpersist once the
-  successor materializes — memory stays O(|nodes|).
+  two cached leaves, period. Reclaim: checkpoint caches live at the
+  RDD level, OUTSIDE the SQL CacheManager, so DataFrame.unpersist()
+  cannot free them — instead the loop drops the Python reference to
+  each superseded generation as soon as its successor materializes,
+  which releases the Py4J handle and lets the ContextCleaner unpersist
+  the backing RDD at the next JVM GC. Live references are always the
+  two newest generations (O(|nodes|) rows each); superseded ones are
+  GC-pending, not held for the life of the loop.
 
 The oracle is a DuckDB recursive CTE computing min reachable label —
 the declarative specification of the same fixpoint.
@@ -95,13 +101,23 @@ def connected_components(
             .localCheckpoint(eager=True)
         )
         changed = new_gen.filter(F.col("lbl") != F.col("old_lbl")).count()
+        # Free the superseded generation. Iteration 1's `gen` is the
+        # persist()-ed seed frame, which unpersist() frees directly;
+        # every later `gen` is a checkpoint leaf whose cache is
+        # RDD-level (not in the SQL CacheManager), so unpersist() is a
+        # no-op for it — the real release is the reference drop on the
+        # next line (`gen = new_gen`), after which the ContextCleaner
+        # reclaims the RDD cache at the next JVM GC (module doc).
         gen.unpersist()
         gen = new_gen
         labels = new_gen.select("node", "lbl")  # narrow view over the cache
         if changed == 0:
             break
     sym.unpersist()
-    track_cached(gen)  # drained by the next registered-query invocation
+    # Ledger the final generation: for a persisted seed (0-iteration
+    # exit) the drain unpersists it; for a checkpoint leaf the drain's
+    # value is dropping the last Python reference → ContextCleaner.
+    track_cached(gen)
     return labels.select("node", F.col("lbl").alias("component"))
 
 
@@ -149,6 +165,9 @@ def connected_components_bipartite(
             .localCheckpoint(eager=True)
         )
         changed = new_gen.filter(F.col("lbl") != F.col("old_lbl")).count()
+        # unpersist() frees the persist()-ed seed on iteration 1; later
+        # generations are checkpoint leaves freed by reference drop +
+        # ContextCleaner (see connected_components / module doc)
         gen.unpersist()
         gen = new_gen
         labels = new_gen.select("node", "lbl")  # narrow view over the cache

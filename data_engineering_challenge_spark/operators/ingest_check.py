@@ -38,7 +38,13 @@ from ..catalog import load_table
 from ..registry import register
 from ..sources.csv import ingest_csv_files
 
-_EXPORT_DIR = os.path.join(tempfile.gettempdir(), "desc_csv_ingest_check")
+# Each sf_dir exports into its own immutable subdirectory (keyed by a
+# hash of the sf_dir path), so two processes running different scale
+# factors never overwrite each other's fixture. The oracle SQL is a
+# static string, so it reads through a fixed symlink that the export
+# step atomically repoints at the current sf's subdirectory.
+_EXPORT_BASE = os.path.join(tempfile.gettempdir(), "desc_csv_ingest_check")
+_ORACLE_LINK = _EXPORT_BASE + "-current"
 NULL_STRIPE = 97  # l_orderkey % 97 == 0 rows carry the '#NO VALUE' token
 
 _SCHEMA = T.StructType(
@@ -58,19 +64,20 @@ def _export_messy_csv(spark: SparkSession, sf_dir: str) -> str:
     cell 21) — so the oracle's cleaning mirror stays exact.
 
     The export is test SCAFFOLDING (the capability under test is the
-    ingest kit, which both engines run over the same file), so a
-    marker records which sf_dir produced the current fixture and
-    repeat runs at the same sf skip the rewrite; any sf change
-    re-exports because the oracle reads the same fixed path."""
-    marker = os.path.join(tempfile.gettempdir(), "desc_csv_ingest_check.src")
-    try:
-        with open(marker) as fh:
-            if fh.read() == sf_dir and os.path.exists(
-                os.path.join(_EXPORT_DIR, "_SUCCESS")
-            ):
-                return _EXPORT_DIR
-    except OSError:
-        pass
+    ingest kit, which both engines run over the same file). Each
+    sf_dir writes once into its own content-keyed subdirectory
+    (repeat runs at the same sf skip the rewrite), then the oracle
+    symlink is atomically repointed — concurrent runs at different
+    scale factors cannot corrupt each other's fixture. The driver
+    executes the Spark side first, which is what materializes the
+    fixture the oracle then re-reads; our own harnesses
+    (tools/check_oracles.py, pytest) do the same."""
+    import hashlib
+
+    dest = os.path.join(_EXPORT_BASE, hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    if os.path.exists(os.path.join(dest, "_SUCCESS")):
+        _point_oracle_link(dest)
+        return dest
     src = load_table(spark, sf_dir, "lineitem")
     eu = lambda c: F.regexp_replace(  # noqa: E731 - tiny local formatter
         F.regexp_replace(F.format_number(F.col(c), 2), ",", ""), r"\.", ","
@@ -87,11 +94,27 @@ def _export_messy_csv(spark: SparkSession, sf_dir: str) -> str:
         .write.mode("overwrite")
         .option("sep", "|")
         .option("header", True)
-        .csv(_EXPORT_DIR)
+        .csv(dest)
     )
-    with open(marker, "w") as fh:
-        fh.write(sf_dir)
-    return _EXPORT_DIR
+    _point_oracle_link(dest)
+    return dest
+
+
+def _point_oracle_link(dest: str) -> None:
+    """Atomically (re)point the fixed oracle symlink at `dest`."""
+    tmp = f"{_ORACLE_LINK}.tmp.{os.getpid()}"
+    try:
+        if os.path.lexists(_ORACLE_LINK) and not os.path.islink(_ORACLE_LINK):
+            # a stale real directory from a pre-symlink layout
+            import shutil
+
+            shutil.rmtree(_ORACLE_LINK, ignore_errors=True)
+        if os.path.lexists(tmp):
+            os.unlink(tmp)
+        os.symlink(dest, tmp)
+        os.replace(tmp, _ORACLE_LINK)
+    except OSError:
+        pass
 
 
 @register(
@@ -99,7 +122,7 @@ def _export_messy_csv(spark: SparkSession, sf_dir: str) -> str:
     oracle=f"""
         WITH raw AS (
             SELECT * FROM read_csv(
-                '{_EXPORT_DIR}/*.csv', header = true, delim = '|',
+                '{_ORACLE_LINK}/*.csv', header = true, delim = '|',
                 columns = {{'l_orderkey': 'VARCHAR', 'l_quantity': 'VARCHAR',
                             'l_extendedprice': 'VARCHAR', 'l_shipdate': 'VARCHAR'}})
         ),

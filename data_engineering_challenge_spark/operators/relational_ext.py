@@ -42,6 +42,12 @@ from ..registry import register
 
 DEC = "decimal(18,2)"
 
+# idle_customers_balance: a customer is "idle" with no order on/after
+# this date (orders span 1995-01..2001-08 at every sf; this cutoff
+# leaves a non-trivial idle cohort — 55 customers / 23 nations at
+# sf0.01 — so the driver hash check exercises real rows)
+IDLE_CUTOFF = "2000-01-01"
+
 
 @register(
     "customer_order_distribution",
@@ -416,7 +422,7 @@ def blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "idle_customers_balance",
-    oracle="""
+    oracle=f"""
         WITH thr AS (
             SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
                        / COUNT(*) AS avg_bal
@@ -427,21 +433,32 @@ def blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
         FROM customer, thr
         WHERE c_acctbal > avg_bal
-          AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= DATE '{IDLE_CUTOFF}')
         GROUP BY c_nationkey
         ORDER BY c_nationkey
     """,
-    doc="TPC-H Q22 shape (well-funded customers who never ordered): "
-    "scalar-subquery threshold (exact decimal sum / count — "
-    "partition-invariant, unlike a float AVG) + anti-join against "
-    "orders, aggregated per nation. The threshold is a 1-row broadcast "
-    "frame (no collect round-trip); the anti-join plans as a "
-    "broadcast/shuffled left-anti hash join, never a per-row probe.",
+    doc="TPC-H Q22 shape (well-funded customers gone idle — no order "
+    "since the cutoff): scalar-subquery threshold (exact decimal sum "
+    "/ count — partition-invariant, unlike a float AVG) + anti-join "
+    "against the date-filtered orders, aggregated per nation. The "
+    "threshold is a 1-row broadcast frame (no collect round-trip); "
+    "the date predicate pushes into the orders parquet scan BEFORE "
+    "the anti-join (smaller build side); the anti-join plans as a "
+    "broadcast/shuffled left-anti hash join, never a per-row probe. "
+    "(Q22's literal 'never ordered' predicate is empty on this "
+    "synthetic data — every customer has ordered — so the driver row "
+    "would only ever compare 0 vs 0; the idle-window variant keeps "
+    "the identical plan shape while making the hash check exercise "
+    "real threshold/anti-join/decimal arithmetic.)",
     tags=("join", "anti", "subquery", "extension"),
 )
 def idle_customers_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit(IDLE_CUTOFF).cast("date")
+    )
     thr = c.filter(F.col("c_acctbal") > 0.0).agg(
         (F.sum(F.col("c_acctbal").cast(DEC)).cast("double") / F.count(F.lit(1))).alias(
             "avg_bal"

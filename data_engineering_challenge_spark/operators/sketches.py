@@ -87,7 +87,10 @@ def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
                 df.select(c)
                 .distinct()
                 .agg(
-                    F.count(F.lit(1)).alias("exact_distinct"),
+                    # count(col), not count(1): the distinct stream keeps a
+                    # NULL row if the column is nullable, and COUNT(DISTINCT)
+                    # / the DuckDB oracle exclude NULL — count(col) matches
+                    F.count(F.col(c)).alias("exact_distinct"),
                     F.approx_count_distinct(c, _RSD).alias("approx"),
                 )
                 .select(F.lit(f"{table}.{c}").alias("column_name"), "exact_distinct", "approx")

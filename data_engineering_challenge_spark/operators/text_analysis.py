@@ -260,15 +260,37 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM documents)
         ORDER BY doc_id, sent_idx
     """,
-    doc="Python UDTF (1 row → N sentence rows via LATERAL) — the "
-    "table-function surface, Arrow-optimized (useArrow=True plans as "
-    "ArrowEvalPythonUDTF: batched columnar transfer instead of "
-    "row-at-a-time pickling; the plan-level no-BatchEvalPython gate "
-    "in tests/test_plans.py holds for every registered query). Split "
-    "is plain substring '. ' in both engines.",
-    tags=("udf", "udtf", "text", "extension"),
+    doc="Sentence explosion (1 row → N sentence rows) kept entirely "
+    "JVM-side: split on the literal '. ' boundary + posexplode, so the "
+    "whole plan stays inside whole-stage codegen — no Python worker "
+    "touches the corpus. (Round 3 registered a Python UDTF here; at "
+    "100 TB that fans every document through a Python process, so the "
+    "UDTF survives only as the API demonstration "
+    "`doc_sentences_udtf`, exercised by pytest.) Split is plain "
+    "substring '. ' in both engines.",
+    tags=("text", "extension"),
 )
 def doc_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\. ", -1)).alias("sent_idx", "sentence"),
+        )
+        .orderBy("doc_id", "sent_idx")
+    )
+
+
+def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python-UDTF twin of :func:`doc_sentences` — API-surface demo only.
+
+    Demonstrates the 1-row→N-rows table-function surface
+    (``LATERAL split_sentences(...)``) with Arrow batching
+    (``useArrow=True`` plans as ArrowEvalPythonUDTF). NOT registered:
+    sentence splitting is expressible JVM-side, and a Python stage in a
+    corpus-wide data path is the wrong plan at scale. Pinned equal to
+    the JVM version by tests/test_text_analysis.py.
+    """
     from pyspark.sql.functions import udtf
 
     @udtf(returnType="doc_id bigint, sent_idx int, sentence string", useArrow=True)

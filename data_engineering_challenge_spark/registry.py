@@ -56,56 +56,59 @@ def register(
 # row, (c) the cohort still riding on round-1 rows. Long-green queries
 # with fresh rows keep their historical evidence and can safely sit
 # past the prefix. This is pure iteration order — membership and
-# semantics are unchanged. Rotated each round (round 3: the 30
-# r1-row-only queries + everything touched by the round-3 ledger/IVF/
-# graph changes).
+# semantics are unchanged. Rotated each round (round 4: the 38 queries
+# whose last green row predates the round-3 registry-wrapper change,
+# plus everything whose implementation changed in round 4).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # never driver-checked (new this round)
-    "csv_ingest_check",
-    "source_quality_rollup",
-    "ivf_cell_purity",
-    "rare_token_profile",
-    "blamed_suppliers",
-    "idle_customers_balance",
-    "revenue_daily_deltas",
-    "minhash_precision_audit",
-    # implementation changed round 3: adaptive ~sqrt(n) IVF stride
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    "semantic_dedup",
-    # implementation changed round 3: persist ledger + CC localCheckpoint
-    "dedup_clusters",
-    "exact_dedup",
-    "simhash_pairs",
-    "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "embedding_cosine_pairs",
-    "ann_topk",
-    "ann_lsh_topk",
-    "decontaminate_split",
-    # riding on round-1 rows only (VERDICT.md r2 "Next round" #4)
-    "table_profile",
-    "quantity_quartiles",
-    "orders_status_priority_pivot",
-    "order_measures_unpivot",
-    "clicks_asof_purchase",
-    "purchase_click_context",
+    # implementation changed round 4 (doc_sentences: UDTF -> JVM
+    # split+posexplode; also part of the stale-row cohort below)
+    "doc_sentences",
+    # last green row is round 2 -- the registry wrapper every query
+    # executes under (the persist ledger) changed in round 3; refresh
+    # all 38 (VERDICT.md r3 "Next round" #2)
+    "orders_merge_upsert",
+    "repetition_profile",
+    "sample_mixture",
+    "pii_scrub",
+    "pack_sequences",
+    "dedup_savings",
+    "column_stats_orders",
+    "sales_cube",
+    "parts_shipped_both_years",
+    "supplier_shipments_lost_yoy",
+    "shipping_priority_top10",
+    "local_supplier_volume",
+    "nation_trade_balance",
+    "acctbal_grouping_sets",
+    "small_parts_revenue",
+    "promo_revenue_share",
+    "stable_split",
+    "tfidf_top_terms",
+    "clean_corpus",
+    "contract_violations",
+    "invalid_rows",
+    "invalid_values",
+    "placeholder_discovery",
+    "value_format_profile_events",
+    "events_json_extract",
+    "events_props_map",
+    "events_variant_extract",
+    "top3_parts_per_supplier",
+    "revenue_running_total",
+    "sessionize_events",
+    "events_hourly",
+    "events_sliding_1h30m",
+    "events_session_window",
+    "sales_rollup",
+    "daily_revenue_analytics",
+    "events_by_hour_of_day",
+    "priority_price_extremes",
+    # implementation touched round 4 (perf/semantics fixes) -- refresh
+    # even though their r3 rows are green
     "multimodal_meta",
-    "multimodal_frames",
-    "user_value_trend",
-    "totalprice_histogram",
-    "customers_without_orders",
-    "suppliers_of_promo_parts",
-    "customer_order_distribution",
-    "orders_with_discounted_lines",
-    "tx_per_store_salted",
     "approx_distinct_check",
-    "approx_quantiles_check",
-    "token_counts",
-    "doc_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "bpe_token_counts",
+    "idle_customers_balance",
+    "csv_ingest_check",
 )
 
 

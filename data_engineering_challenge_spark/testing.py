@@ -79,9 +79,16 @@ def fingerprint(cols: list[str], rows: list[tuple], strict: bool = True) -> tupl
 
 
 def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    """Register the sf tables as DuckDB views — both layouts: the
+    driver's single-file `{t}.parquet` and the Spark-written directory
+    `{t}.parquet/part-*.parquet` (tools/gen_sf.py output)."""
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        path = f"{sf_dir}/{t}.parquet"
+        src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM {src}")
     return con
 
 

@@ -25,10 +25,11 @@ def test_bipartite_components(spark):
 
 
 def test_long_chain_converges_with_bounded_plan(spark):
-    """100-node chain: worst-case diameter forces ~50 label-propagation
-    iterations — several localCheckpoint boundaries (CHECKPOINT_EVERY=10).
-    Pins (a) correctness at high diameter and (b) that the returned
-    frame's logical plan is truncated, not an O(iterations)-deep tree."""
+    """100-node chain: worst-case diameter, tamed by the pointer-jump
+    step (~8 rounds instead of 99), with EVERY generation
+    localCheckpoint(eager)-ed into a plan leaf. Pins (a) correctness at
+    high diameter and (b) that the returned frame's logical plan is a
+    checkpoint-truncated leaf, not an O(iterations)-deep tree."""
     n = 100
     nodes = spark.createDataFrame([(i,) for i in range(n)], ["node"])
     edges = spark.createDataFrame([(i, i + 1) for i in range(n - 1)], ["a", "b"])

@@ -47,3 +47,17 @@ def test_map_in_arrow_twin_matches_pandas_path(spark, sf_dir):
     a = sorted(map(tuple, extract_payload_meta(d, "doc_id", "payload").collect()))
     b = sorted(map(tuple, extract_payload_meta_arrow(d, "doc_id", "payload").collect()))
     assert a == b and len(a) > 0
+
+
+def test_idle_customers_balance_exercises_real_rows(spark, sf_dir):
+    """ADVICE r3: the r2 shape's driver evidence was a 0-row vs 0-row
+    match (every synthetic customer has ordered, so Q22's literal
+    'never ordered' cohort is empty at every sf). The idle-window
+    variant must return a non-empty per-nation aggregate even at
+    sf0.001, so the hash check verifies the threshold arithmetic,
+    broadcast cross-join, anti-join, and decimal aggregation on real
+    rows."""
+    spec = registry.all_queries()["idle_customers_balance"]
+    rows = spec.fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    assert all(r.n_customers > 0 and r.total_bal > 0 for r in rows)

@@ -170,7 +170,6 @@ _PYTHON_BY_DESIGN = {
     "multimodal_meta",    # mapInPandas decode plumbing
     "multimodal_frames",  # mapInPandas 1->N
     "user_value_trend",   # applyInPandas grouped model
-    "doc_sentences",      # Python UDTF via LATERAL
 }
 _PY_MARKERS = (
     "BatchEvalPython",  # row-at-a-time Python UDF — never acceptable
@@ -265,3 +264,20 @@ def test_no_query_smuggles_python_into_the_hot_path(spark, sf_dir):
         elif hits:
             offenders[name] = hits
     assert not offenders, f"Python stages leaked into JVM-only queries: {offenders}"
+
+
+def test_doc_sentences_is_jvm_side_and_udtf_twin_matches(spark, sf_dir):
+    """The registered doc_sentences must be pure JVM (split+posexplode,
+    no Python stage); the Python-UDTF API demo must produce the exact
+    same rows — it exists to exercise the LATERAL table-function
+    surface, not to run in the data path."""
+    from data_engineering_challenge_spark.operators.text_analysis import (
+        doc_sentences_udtf,
+    )
+
+    plan = _plan(spark, sf_dir, "doc_sentences")
+    assert not any(m in plan for m in _PY_MARKERS), plan[:800]
+
+    jvm = registry.all_queries()["doc_sentences"].fn(spark, sf_dir)
+    py = doc_sentences_udtf(spark, sf_dir)
+    assert [tuple(r) for r in jvm.collect()] == [tuple(r) for r in py.collect()]
