@@ -255,11 +255,12 @@ def dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
                l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DOUBLE) AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(3,2)))), 2) AS DOUBLE)
+                   AS sum_disc_price,
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                    * (1 - CAST(l_discount AS DECIMAL(3,2)))
-                   * (1 + CAST(l_tax AS DECIMAL(3,2)))) AS DOUBLE) AS sum_charge,
+                   * (1 + CAST(l_tax AS DECIMAL(3,2)))), 2) AS DOUBLE) AS sum_charge,
                COUNT(*) AS count_order
         FROM lineitem
         GROUP BY l_returnflag, l_linestatus
@@ -269,7 +270,12 @@ def dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Inputs are exact 2-decimal values, so price/discount/tax are cast "
     "to DECIMAL *before* multiplying: every op is exact decimal math, "
     "identical across engines and partitionings (a double product cast "
-    "to decimal would tie-break differently in Spark vs DuckDB).",
+    "to decimal would tie-break differently in Spark vs DuckDB). The "
+    "scale-6 product sums are HALF_UP-rounded back to scale 2 BEFORE "
+    "the double cast: above ~1e10 a scale-6 decimal exceeds double's "
+    "53-bit mantissa and DuckDB's int128/10^6 conversion double-rounds "
+    "(1-ulp divergence, first seen at sf1), while a scale-2 decimal "
+    "under 2^53×10⁻² converts with a single rounding in both engines.",
     tags=("flagship", "agg"),
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -282,8 +288,8 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(F.col("l_quantity").cast(DEC)).cast("double").alias("sum_qty"),
             F.sum(ep).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            F.round(F.sum(disc_price), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

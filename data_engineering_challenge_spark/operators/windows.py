@@ -232,7 +232,7 @@ def events_sliding_1h30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_session_window",
     oracle="""
         WITH flagged AS (
-            SELECT user_id, ts,
+            SELECT user_id, ts, event_id,
                    CASE WHEN LAG(ts) OVER w IS NULL
                              OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS is_new
@@ -240,9 +240,14 @@ def events_sliding_1h30m(spark: SparkSession, sf_dir: str) -> DataFrame:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         numbered AS (
+            -- the running sum MUST order by (ts, event_id) like the LAG
+            -- above: with same-user-same-ts ties (27 such pairs at sf1)
+            -- a ts-only ROWS frame is nondeterministic — a tied row can
+            -- land before or after the is_new row it shares a ts with,
+            -- flipping its session id run-to-run
             SELECT user_id, ts,
                    SUM(is_new) OVER (
-                       PARTITION BY user_id ORDER BY ts
+                       PARTITION BY user_id ORDER BY ts, event_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
                    ) AS sid
             FROM flagged

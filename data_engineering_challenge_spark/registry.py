@@ -109,6 +109,11 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "approx_distinct_check",
     "idle_customers_balance",
     "csv_ingest_check",
+    "dedup_clusters",
+    # round-4 sf1 findings: tie-deterministic session oracle, scale-2
+    # re-round before the decimal->double cast
+    "events_session_window",
+    "pricing_summary",
 )
 
 
