@@ -117,7 +117,15 @@ def main() -> None:
         spark.range(0, 64, 1, 64).mapInPandas(
             lambda it: (pdf for pdf in it), schema="id long"
         ).collect()
+        # SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts to a subset — used for
+        # focused scaling probes at big SFs where the full suite (and
+        # especially its quadratic-by-design entries) isn't the point.
+        only = {
+            q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q
+        }
         for name, spec in registry.all_queries().items():
+            if only and name not in only:
+                continue
             # each query is timed self-contained: persisted intermediates
             # from earlier queries (tracked in the registry's persist
             # ledger) would otherwise cause LRU eviction churn
@@ -128,7 +136,8 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, dt), dt)
             assert n >= 0
-    timings["csv_ingest_bench"] = _csv_ingest_sec(spark, sf_dir)
+    if not only or "csv_ingest_bench" in only:
+        timings["csv_ingest_bench"] = _csv_ingest_sec(spark, sf_dir)
     total = round(sum(timings.values()), 4)
     # The driver captures only the tail of stdout (~2000 bytes); the full
     # 73-query map overflowed it in round 1 (BENCH_r01 parsed: null). The
