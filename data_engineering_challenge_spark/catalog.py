@@ -72,3 +72,28 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     for name, df in dfs.items():
         df.createOrReplaceTempView(name)
     return dfs
+
+
+def spread_scan(df: DataFrame, spark: SparkSession, key: str) -> DataFrame:
+    """Hash-repartition a compute-dense frame up to session parallelism
+    when the source scan yields fewer partitions than cores.
+
+    The driver testdata stores each table as ONE small parquet file, so
+    a corpus scan is a single task and every per-row-expensive operator
+    (shingle hashing, minhash signatures, 64-dim dot products, Arrow
+    Python stages) runs on one core while 31 idle — measured 8× below
+    per-core throughput at sf0.1 vs sf1. Hash-partitioning on the id
+    key is deterministic (unlike round-robin) and balanced for the
+    uniform id domains here. At cluster scale a real corpus scan
+    already has ≥ cores splits, the predicate is false, and NO shuffle
+    is added — this is a small-input adaptation, not a plan change.
+    """
+    target = spark.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        return df
+    from pyspark.sql import functions as F
+
+    return df.repartition(target, F.col(key))

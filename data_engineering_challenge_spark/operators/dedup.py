@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.text import normalize_text, tokens, word_ngrams
 from ..registry import register
 
@@ -59,7 +59,9 @@ SIMHASH_MAX_HAMMING = 3
 
 
 def _distinct_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
     grams = word_ngrams(tokens(F.col("text")), 3)
     return d.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
 
@@ -138,7 +140,9 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = _reused(_distinct_grams(spark, sf_dir))
     # |grams(doc)| as a narrow projection — no explode, no shuffle
     # (the oracle's COUNT-after-unnest equals the distinct-array size).
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
     sz = d.select(
         "doc_id",
         F.size(F.array_distinct(word_ngrams(tokens(F.col("text")), 3))).alias("n"),
@@ -373,7 +377,9 @@ def minhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb_sig, "doc_b")
         .select("doc_a", "doc_b", est_col.alias("est_jaccard"))
     )
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
     sz = d.select(
         "doc_id",
         F.size(F.array_distinct(word_ngrams(tokens(F.col("text")), 3))).alias("n"),
@@ -413,7 +419,9 @@ def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     columns — the per-bit ±1 tallies stay map-side-combined in a
     single (doc_id → 60 longs) shuffle, vs. a 60× row explosion.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
     t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast("long")
     bit_sums = [

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.text import NORM_SQL as _NORM_SQL
 from ..functions.text import normalize_text, tokens, word_ngrams
 from ..registry import register, track_persist
@@ -116,7 +116,9 @@ def _gram_sql(n: int) -> str:
 def decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.storagelevel import StorageLevel
 
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
     tok = tokens(F.col("text"))
     # materialize the hashed gram list ONCE — the train and test sides
     # below would otherwise each re-run the tokenize → 8-gram → md5
@@ -195,7 +197,9 @@ def decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "extension"),
 )
 def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
     # tokenize once; derive the bigram list from the materialized array
     t = d.select("doc_id", tokens(F.col("text")).alias("toks")).select(
         "doc_id", "toks", word_ngrams(F.col("toks"), 2).alias("g2")
@@ -303,7 +307,9 @@ PII_PHONE = "[0-9][0-9(). -]{7,}[0-9]"
     tags=("text", "quality", "extension"),
 )
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
     return d.select(
         "doc_id",
         F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL), F.lit(0))).cast(
@@ -424,7 +430,9 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "extension"),
 )
 def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
     shingle_hashes = F.transform(
         F.sequence(F.lit(1), F.length("norm") - 7),
         lambda i: F.md5(F.col("norm").substr(i, F.lit(8)).cast("binary")),

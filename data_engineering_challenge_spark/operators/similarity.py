@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.vectors import as_double, cosine, dot, hyperplanes, norm
 from ..registry import register, track_persist
 
@@ -75,7 +75,10 @@ def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     (buckets, query side, rerank side) reads the same materialization
     instead of re-deriving the norm fold per consumer. The cluster
     analog is a staged norms+vectors table."""
-    e = load_table(spark, sf_dir, "embeddings")
+    # spread_scan: the test-SF embeddings table is one small parquet
+    # file → one task would compute every 64-dim norm/dot; a no-op at
+    # cluster scale (see catalog.spread_scan)
+    e = spread_scan(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
     v = as_double(F.col("embedding"))
     return track_persist(
         e.select("vec_id", v.alias("v"), norm(v).alias("nrm")),

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.text import count_in_set, normalize_text, tokens, word_ngrams
 from ..registry import register
 
@@ -55,7 +55,9 @@ _TOK_SQL = f"string_split({_NORM_SQL}, ' ')"
     tags=("text", "extension"),
 )
 def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
     # materialize norm, then the token array, in staged projections:
     # Catalyst does NOT common-subexpression-eliminate repeated
     # tokens()/normalize chains across sibling expressions, so the
@@ -97,7 +99,9 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "extension"),
 )
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
     # staged projections: tokenize once, count many (see token_counts)
     t = d.select("doc_id", normalize_text(F.col("text")).alias("nrm")).select(
         "doc_id", F.length("nrm").alias("n_chars"), F.split("nrm", " ").alias("t")
@@ -155,7 +159,9 @@ def _lang_case_sql() -> str:
     tags=("text", "extension"),
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
     # tokenize once, then the four marker counts read the same array
     # (inline tok would tokenize per language — see token_counts note)
     c = d.select("doc_id", "lang", tokens(F.col("text")).alias("t")).select(
@@ -199,7 +205,9 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("text", "dedup", "extension"),
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
     norm = normalize_text(F.col("text"))
     n = d.select("doc_id", norm.alias("norm"))
     shingle_hashes = F.transform(
@@ -239,7 +247,9 @@ BPE_ISH_PATTERN = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
     tags=("text", "extension"),
 )
 def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
     bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
     bpe_lower = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), 0)
     return d.select(
