@@ -160,3 +160,25 @@ def test_salted_count_distinct_spreads_zipf_hot_key(spark):
     assert max(sizes.values()) <= 2 * total / n_salt, (
         f"hot group not spread: {sizes}"
     )
+
+
+def test_spread_scan_spreads_small_scans_and_leaves_parallel_frames_alone(spark, sf_dir):
+    """spread_scan must (a) raise a single-partition scan to session
+    parallelism without changing content, and (b) be a NO-OP — no added
+    exchange — when the frame already has >= cores partitions (the
+    cluster-scale case)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.catalog import load_table, spread_scan
+
+    target = spark.sparkContext.defaultParallelism
+    d = load_table(spark, sf_dir, "documents")
+    assert d.rdd.getNumPartitions() < target  # single small file at test SF
+    spread = spread_scan(d, spark, "doc_id")
+    assert spread.rdd.getNumPartitions() == target
+    assert sorted(r.doc_id for r in spread.select("doc_id").collect()) == sorted(
+        r.doc_id for r in d.select("doc_id").collect()
+    )
+
+    wide = spark.range(0, 1000, 1, target).select(F.col("id").alias("doc_id"))
+    assert spread_scan(wide, spark, "doc_id") is wide  # no-op, no shuffle
