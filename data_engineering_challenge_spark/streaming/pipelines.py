@@ -73,10 +73,11 @@ def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw
 
 
-def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming twin of the `events_hourly` batch query: tumbling
-    1-hour windows with a 10-minute watermark."""
-    e = _read_events_stream(spark, sf_dir)
+def hourly_counts_transform(e: DataFrame) -> DataFrame:
+    """Tumbling 1-hour windowed aggregation with a 10-minute watermark —
+    shared by the sf-dir pipeline below and the throughput bench
+    (tools/stream_bench.py), which feeds it a chunked file-drop
+    source."""
     return (
         e.withWatermark("ts", WATERMARK)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -91,6 +92,12 @@ def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+def hourly_event_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the `events_hourly` batch query: tumbling
+    1-hour windows with a 10-minute watermark."""
+    return hourly_counts_transform(_read_events_stream(spark, sf_dir))
 
 
 def dedup_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -150,9 +157,10 @@ def run_stream_to_memory(df: DataFrame, name: str, mode: str = "append") -> None
     q.stop()
 
 
-def user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def user_totals_transform(e: DataFrame) -> DataFrame:
     """Custom stateful operator via applyInPandasWithState: per-user
-    running totals with event-time state timeout.
+    running totals with event-time state timeout. Shared by the sf-dir
+    pipeline below and tools/stream_bench.py.
 
     The state (n_events, total_value) lives in the state store keyed by
     user_id; each micro-batch updates it Arrow-batched and emits the
@@ -186,7 +194,6 @@ def user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"user_id": [key[0]], "n_events": [n], "total_value": [tot], "closed": [False]}
         )
 
-    e = _read_events_stream(spark, sf_dir)
     return (
         e.withWatermark("ts", WATERMARK)
         .groupBy("user_id")
@@ -198,6 +205,11 @@ def user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals over the sf-dir events stream."""
+    return user_totals_transform(_read_events_stream(spark, sf_dir))
 
 
 def run_stream_collect_batches(df: DataFrame, mode: str = "update") -> list[tuple[int, list]]:
