@@ -56,22 +56,50 @@ def register(
 # row, (c) the cohort still riding on round-1 rows. Long-green queries
 # with fresh rows keep their historical evidence and can safely sit
 # past the prefix. This is pure iteration order — membership and
-# semantics are unchanged. Rotated each round (round 4: the 38 queries
-# whose last green row predates the round-3 registry-wrapper change,
-# plus everything whose implementation changed in round 4).
+# semantics are unchanged. Rotated each round (round 4: every query
+# whose implementation changed in round 4 fronts the prefix, then the
+# 38 whose last green row predates the round-3 registry-wrapper
+# change; the full strict sweeps at sf0.01 and sf1 cover whatever
+# falls past the ~50-row driver sample).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # implementation changed round 4 (doc_sentences: UDTF -> JVM
-    # split+posexplode; also part of the stale-row cohort below)
+    # -- implementation changed round 4 -------------------------------
+    # JVM rewrite
     "doc_sentences",
-    # last green row is round 2 -- the registry wrapper every query
-    # executes under (the persist ledger) changed in round 3; refresh
-    # all 38 (VERDICT.md r3 "Next round" #2)
-    "orders_merge_upsert",
+    # sf1-scale correctness fixes (tie-deterministic session oracle,
+    # scale-2 re-round, algebraic-shortcut CC oracle)
+    "events_session_window",
+    "pricing_summary",
+    "dedup_clusters",
+    # semantics/fixture fixes
+    "idle_customers_balance",
+    "approx_distinct_check",
+    "csv_ingest_check",
+    "multimodal_meta",
+    # spread_scan applied (single-file scan parallelization)
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "minhash_precision_audit",
+    "simhash_pairs",
+    "token_counts",
+    "doc_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "bpe_token_counts",
+    "decontaminate_split",
     "repetition_profile",
-    "sample_mixture",
     "pii_scrub",
-    "pack_sequences",
     "dedup_savings",
+    "ann_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "semantic_dedup",
+    "embedding_cosine_pairs",
+    "ivf_cell_purity",
+    # -- last green row round 2 (wrapper changed r3; code untouched) --
+    "orders_merge_upsert",
+    "sample_mixture",
+    "pack_sequences",
     "column_stats_orders",
     "sales_cube",
     "parts_shipped_both_years",
@@ -98,22 +126,10 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sessionize_events",
     "events_hourly",
     "events_sliding_1h30m",
-    "events_session_window",
     "sales_rollup",
     "daily_revenue_analytics",
     "events_by_hour_of_day",
     "priority_price_extremes",
-    # implementation touched round 4 (perf/semantics fixes) -- refresh
-    # even though their r3 rows are green
-    "multimodal_meta",
-    "approx_distinct_check",
-    "idle_customers_balance",
-    "csv_ingest_check",
-    "dedup_clusters",
-    # round-4 sf1 findings: tie-deterministic session oracle, scale-2
-    # re-round before the decimal->double cast
-    "events_session_window",
-    "pricing_summary",
 )
 
 
