@@ -227,18 +227,30 @@ def gen_lineitem(orders: DataFrame, n_part: int, n_supp: int) -> DataFrame:
     )
 
 
-def gen_events(spark: SparkSession, n: int, n_users: int) -> DataFrame:
+def gen_events(
+    spark: SparkSession, n: int, n_users: int, hot_user_share: float = 0.0
+) -> DataFrame:
+    """`hot_user_share` > 0 makes user_id Zipf-pathological: that
+    fraction of ALL events lands on user 0 (the hot key the salted
+    count-distinct / AQE skew-join paths exist for), remainder uniform.
+    Default 0 mirrors the driver data's uniform users."""
     df = _range(spark, n, "event_id")
     k = F.col("event_id")
     # exponential(mean 50) value: long-tailed like the driver stream
     u = F.greatest(_u(k, "ev"), F.lit(1e-6))
+    uniform_user = F.pmod(_h(k, "eu"), F.lit(n_users))
+    user = (
+        F.when(_u(k, "ehot") < hot_user_share, F.lit(0)).otherwise(uniform_user)
+        if hot_user_share > 0
+        else uniform_user
+    )
     return df.select(
         k,
         _ts_ntz(
             EVENTS_EPOCH,
             F.round(_u(k, "et") * float(EVENTS_SPAN_SECONDS), 3).cast("double"),
         ).alias("ts"),
-        F.pmod(_h(k, "eu"), F.lit(n_users)).alias("user_id"),
+        user.alias("user_id"),
         _pick(EVENT_TYPES, k, "ety").alias("event_type"),
         F.round(-50.0 * F.log(u), 2).alias("value"),
         F.format_string('{"k": %d}', F.pmod(_h(k, "ek"), F.lit(100))).alias("props"),
@@ -307,7 +319,9 @@ def write_table(df: DataFrame, out_dir: str, name: str) -> None:
     df.write.mode("overwrite").parquet(path)
 
 
-def generate(spark: SparkSession, sf: float, out_dir: str) -> None:
+def generate(
+    spark: SparkSession, sf: float, out_dir: str, hot_user_share: float = 0.0
+) -> None:
     c = counts_for(sf)
     os.makedirs(out_dir, exist_ok=True)
     write_table(gen_region(spark), out_dir, "region")
@@ -320,7 +334,11 @@ def generate(spark: SparkSession, sf: float, out_dir: str) -> None:
     write_table(
         gen_lineitem(orders, c["part"], c["supplier"]), out_dir, "lineitem"
     )
-    write_table(gen_events(spark, c["events"], c["event_users"]), out_dir, "events")
+    write_table(
+        gen_events(spark, c["events"], c["event_users"], hot_user_share),
+        out_dir,
+        "events",
+    )
     write_table(gen_documents(spark, c["documents"]), out_dir, "documents")
     write_table(gen_embeddings(spark, c["embeddings"]), out_dir, "embeddings")
 
@@ -330,9 +348,13 @@ def main() -> None:
     ap.add_argument("--sf", type=float, required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--hot-user-share", type=float, default=0.0,
+        help="fraction of events assigned to user 0 (Zipf skew rehearsal)",
+    )
     args = ap.parse_args()
     spark = get_session("gen-sf", cpus=args.cpus)
-    generate(spark, args.sf, args.out)
+    generate(spark, args.sf, args.out, args.hot_user_share)
     print(f"wrote sf{args.sf} to {args.out}")
 
 
