@@ -30,8 +30,13 @@ Scale design (100 TB posture):
   two newest generations (O(|nodes|) rows each); superseded ones are
   GC-pending, not held for the life of the loop.
 
-The oracle is a DuckDB recursive CTE computing min reachable label —
-the declarative specification of the same fixpoint.
+Oracle: through round 3 this was a DuckDB recursive CTE computing min
+reachable label. That spec materializes node-node edges (O(bucket³)
+per iteration) and never finished at sf1; the registered query's
+oracle now computes the same fixpoint through the edge relation's
+algebraic shortcut (see the dedup_clusters registration below). The
+general iterative operators here remain pinned on arbitrary graphs by
+tests/test_graph.py.
 """
 
 from __future__ import annotations
@@ -40,7 +45,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from ..catalog import load_table
+from ..catalog import load_table, spread_scan
 from ..functions.text import normalize_text
 from ..registry import register, track_cached
 
@@ -223,7 +228,9 @@ def connected_components_bipartite(
     tags=("dedup", "graph", "iterative", "extension"),
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    # per-char shingle hashing is the dominant map cost — spread the
+    # single-file test scan (no-op at scale; see catalog.spread_scan)
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     norm = normalize_text(F.col("text"))
     shingle_hashes = F.transform(
         F.sequence(F.lit(1), F.length("norm") - 7),
