@@ -123,6 +123,11 @@ def main() -> None:
         only = {
             q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q
         }
+        unknown = only - set(registry.all_queries()) - {"csv_ingest_bench"}
+        if unknown:
+            # fail fast: a typo'd name would silently shrink the probe
+            # and report a misleading suite total
+            raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown queries: {sorted(unknown)}")
         for name, spec in registry.all_queries().items():
             if only and name not in only:
                 continue

@@ -201,7 +201,10 @@ def connected_components_bipartite(
     # window MIN — a completely independent algorithm from the Spark
     # side's iterative label propagation, which still exercises the
     # general fixpoint machinery pinned by tests/test_graph.py on
-    # arbitrary graphs).
+    # arbitrary graphs). NULL text ⇒ NULL msf: the Spark equi-join on
+    # attr never matches NULL, leaving null-text docs as singleton
+    # clusters — the oracle's CASE mirrors that instead of letting
+    # PARTITION BY group every NULL into one cluster.
     oracle=f"""
         WITH n AS (SELECT doc_id, {_NORM_SQL} AS norm FROM documents),
         f AS (
@@ -213,8 +216,11 @@ def connected_components_bipartite(
             FROM n
         )
         SELECT doc_id,
-               MIN(doc_id) OVER (PARTITION BY msf) AS cluster_id,
-               (doc_id = MIN(doc_id) OVER (PARTITION BY msf)) AS is_canonical
+               CASE WHEN msf IS NULL THEN doc_id
+                    ELSE MIN(doc_id) OVER (PARTITION BY msf) END AS cluster_id,
+               (doc_id = CASE WHEN msf IS NULL THEN doc_id
+                              ELSE MIN(doc_id) OVER (PARTITION BY msf) END)
+                   AS is_canonical
         FROM f
         ORDER BY doc_id
     """,

@@ -74,7 +74,14 @@ def _export_messy_csv(spark: SparkSession, sf_dir: str) -> str:
     (tools/check_oracles.py, pytest) do the same."""
     import hashlib
 
-    dest = os.path.join(_EXPORT_BASE, hashlib.md5(sf_dir.encode()).hexdigest()[:12])
+    # key the fixture on the SOURCE DATA's identity, not just the path:
+    # a regenerated sf dir (tools/gen_sf.py re-run at the same --out)
+    # must invalidate the cached export, or the check silently keeps
+    # testing stale data forever
+    dest = os.path.join(
+        _EXPORT_BASE,
+        hashlib.md5(f"{sf_dir}\x00{_source_signature(sf_dir)}".encode()).hexdigest()[:12],
+    )
     if os.path.exists(os.path.join(dest, "_SUCCESS")):
         _point_oracle_link(dest)
         return dest
@@ -100,8 +107,38 @@ def _export_messy_csv(spark: SparkSession, sf_dir: str) -> str:
     return dest
 
 
+def _source_signature(sf_dir: str) -> str:
+    """Cheap identity of the lineitem source: (size, mtime) per file —
+    changes whenever the data is regenerated in place."""
+    path = os.path.join(sf_dir, "lineitem.parquet")
+    try:
+        if os.path.isdir(path):
+            parts = sorted(
+                p for p in os.listdir(path) if not p.startswith((".", "_"))
+            )
+            sig = ";".join(
+                f"{p}:{os.path.getsize(os.path.join(path, p))}:"
+                f"{int(os.path.getmtime(os.path.join(path, p)))}"
+                for p in parts
+            )
+        else:
+            sig = f"{os.path.getsize(path)}:{int(os.path.getmtime(path))}"
+    except OSError:
+        sig = "unknown"
+    return sig
+
+
 def _point_oracle_link(dest: str) -> None:
-    """Atomically (re)point the fixed oracle symlink at `dest`."""
+    """Atomically (re)point the fixed oracle symlink at `dest`.
+
+    Known limitation (single mutable link, static oracle SQL): two
+    PROCESSES running this check CONCURRENTLY at different scale
+    factors can still interleave between one process's repoint and its
+    oracle read. Sequential runs at any mix of SFs are safe (each call
+    repoints before its oracle executes); the driver and every local
+    harness run queries sequentially."""
+    import sys
+
     tmp = f"{_ORACLE_LINK}.tmp.{os.getpid()}"
     try:
         if os.path.lexists(_ORACLE_LINK) and not os.path.islink(_ORACLE_LINK):
@@ -113,8 +150,14 @@ def _point_oracle_link(dest: str) -> None:
             os.unlink(tmp)
         os.symlink(dest, tmp)
         os.replace(tmp, _ORACLE_LINK)
-    except OSError:
-        pass
+    except OSError as e:
+        # a failed repoint would make the oracle read a stale fixture —
+        # surface it instead of letting the mismatch masquerade as an
+        # ingest-kit bug
+        print(
+            f"warning: csv_ingest_check oracle link repoint failed: {e}",
+            file=sys.stderr,
+        )
 
 
 @register(

@@ -306,7 +306,9 @@ def doc_sentences_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="doc_id bigint, sent_idx int, sentence string", useArrow=True)
     class SplitSentences:
         def eval(self, doc_id: int, text: str):
-            for i, s in enumerate((text or "").split(". ")):
+            if text is None:
+                return  # mirror the JVM side: split(NULL) explodes to no rows
+            for i, s in enumerate(text.split(". ")):
                 yield doc_id, i, s
 
     spark.udtf.register("split_sentences", SplitSentences)

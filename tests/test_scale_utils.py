@@ -171,9 +171,14 @@ def test_spread_scan_spreads_small_scans_and_leaves_parallel_frames_alone(spark,
 
     from data_engineering_challenge_spark.catalog import load_table, spread_scan
 
+    import pytest
+
     target = spark.sparkContext.defaultParallelism
     d = load_table(spark, sf_dir, "documents")
-    assert d.rdd.getNumPartitions() < target  # single small file at test SF
+    if d.rdd.getNumPartitions() >= target:
+        # a 1-2 core runner can't demonstrate the spread case (the
+        # single-file scan already meets parallelism there)
+        pytest.skip("scan already >= session parallelism on this machine")
     spread = spread_scan(d, spark, "doc_id")
     assert spread.rdd.getNumPartitions() == target
     assert sorted(r.doc_id for r in spread.select("doc_id").collect()) == sorted(

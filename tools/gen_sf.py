@@ -282,13 +282,14 @@ def gen_documents(spark: SparkSession, n: int) -> DataFrame:
     )
     is_near = (F.pmod(k, F.lit(NEAR_STRIPE)) == 0) & (k > 0) & (F.pmod(k, F.lit(DUP_STRIPE)) != 0)
     text = F.when(is_near, _doc_text(seed, F.lit(" dup"))).otherwise(_doc_text(seed))
+    # stage text once: n_chars reads the staged column instead of
+    # re-evaluating the per-position vocab transform (no sibling CSE)
     return df.select(
         k,
         text.alias("text"),
         _pick(LANGS, seed, "dl").alias("lang"),
         F.concat(F.lit("src"), F.pmod(_h(k, "ds"), F.lit(20)).cast("string")).alias("source"),
-        F.length(text).cast("bigint").alias("n_chars"),
-    )
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
 
 
 def gen_embeddings(spark: SparkSession, n: int) -> DataFrame:
@@ -307,11 +308,20 @@ def gen_embeddings(spark: SparkSession, n: int) -> DataFrame:
             + 0.35 * ((F.pmod(_h(k, j, "en"), F.lit(2001)).cast("double") - 1000.0) / 1000.0)
         ),
     )
-    norm = F.sqrt(
-        F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x)
+    # stage raw, then norm, in separate projections: Catalyst does not
+    # CSE sibling expressions, so inlining norm inside the per-element
+    # transform would rebuild the whole raw array (and its hashes) for
+    # EVERY one of the 64 output elements — O(d^2) hash work per row
+    staged = df.select(
+        k, label.alias("label"), raw.alias("raw")
+    ).select(
+        "vec_id",
+        "label",
+        "raw",
+        F.sqrt(F.aggregate("raw", F.lit(0.0), lambda acc, x: acc + x * x)).alias("nrm"),
     )
-    unit = F.transform(raw, lambda x: (x / norm).cast("float"))
-    return df.select(k, unit.alias("embedding"), label.alias("label"))
+    unit = F.transform("raw", lambda x: (x / F.col("nrm")).cast("float"))
+    return staged.select("vec_id", unit.alias("embedding"), "label")
 
 
 def write_table(df: DataFrame, out_dir: str, name: str) -> None:

@@ -48,9 +48,13 @@ def stage_chunks(spark: SparkSession, sf_dir: str, n_chunks: int) -> tuple[str, 
     drop directory (untimed setup — simulates n file arrivals)."""
     e = load_table(spark, sf_dir, "events")
     n_rows = e.count()
-    drop = os.path.join(
-        tempfile.gettempdir(), f"stream_bench_drop_{abs(hash((sf_dir, n_chunks))) % 10**8}"
-    )
+    import hashlib
+
+    # md5, not builtin hash(): PYTHONHASHSEED randomizes str hashes per
+    # process, which would mint a fresh drop dir (a full events copy)
+    # every run and orphan the old ones
+    key = hashlib.md5(f"{sf_dir}\x00{n_chunks}".encode()).hexdigest()[:12]
+    drop = os.path.join(tempfile.gettempdir(), f"stream_bench_drop_{key}")
     shutil.rmtree(drop, ignore_errors=True)
     # ts normalized to TIMESTAMP (watermark-compatible) at stage time,
     # mirroring _read_events_stream's arrival normalization
