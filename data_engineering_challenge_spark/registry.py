@@ -62,6 +62,8 @@ def register(
 # change; the full strict sweeps at sf0.01 and sf1 cover whatever
 # falls past the ~50-row driver sample).
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- new in round 4 (never driver-checked) ------------------------
+    "sessionize_skew_hybrid",
     # -- implementation changed round 4 -------------------------------
     # JVM rewrite
     "doc_sentences",

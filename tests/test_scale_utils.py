@@ -187,3 +187,50 @@ def test_spread_scan_spreads_small_scans_and_leaves_parallel_frames_alone(spark,
 
     wide = spark.range(0, 1000, 1, target).select(F.col("id").alias("doc_id"))
     assert spread_scan(wide, spark, "doc_id") is wide  # no-op, no shuffle
+
+
+def test_sessionize_hybrid_hot_path_matches_lag_semantics(spark):
+    """The segmented-scan branch of sessionize_skew_hybrid must produce
+    EXACTLY the sessions of the plain lag formulation — including
+    chunk-boundary stitching (events whose 30-min-gap predecessor lives
+    in an earlier 1-hour chunk) and carried session starts across empty
+    chunks. Built from a synthetic two-user frame with one 'hot' user
+    whose events straddle many chunk boundaries; hot_threshold=10
+    forces that user through the segmented path while the other takes
+    the lag path."""
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.operators.windows import (
+        _sessionize_lag,
+        sessionize_hybrid_frame,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    # hot user 1: bursts that cross hour-chunk boundaries, with
+    # >30-min gaps between bursts and multi-hour empty stretches
+    eid = 0
+    for burst_start_min in (50, 130, 131, 480, 1500):  # minutes from base
+        for j in range(12):  # 12 events 5 min apart → crosses an hour edge
+            rows.append((1, base + datetime.timedelta(minutes=burst_start_min + 5 * j), eid))
+            eid += 1
+    # cold user 2: a few scattered events
+    for m in (10, 20, 300, 301):
+        rows.append((2, base + datetime.timedelta(minutes=m), eid)); eid += 1
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long")
+
+    got = sessionize_hybrid_frame(e, hot_threshold=10)
+    # reference: plain lag sessions, numbered the same way
+    from pyspark.sql import Window as W
+
+    ws = W.partitionBy("user_id").orderBy("session_start_tsd")
+    want = (
+        _sessionize_lag(e)
+        .withColumn("session_id", F.row_number().over(ws).cast("bigint"))
+        .select("user_id", "session_id", "n_events", "session_start", "session_end")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # the hot path really ran: user 1 exceeds the threshold
+    assert e.groupBy("user_id").count().filter("count > 10").count() == 1

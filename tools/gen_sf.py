@@ -330,27 +330,33 @@ def write_table(df: DataFrame, out_dir: str, name: str) -> None:
 
 
 def generate(
-    spark: SparkSession, sf: float, out_dir: str, hot_user_share: float = 0.0
+    spark: SparkSession,
+    sf: float,
+    out_dir: str,
+    hot_user_share: float = 0.0,
+    tables: tuple[str, ...] | None = None,
 ) -> None:
+    """`tables=None` writes the full star schema; a subset writes only
+    those tables (ad-hoc probes — e.g. a skewed events table alone)."""
     c = counts_for(sf)
     os.makedirs(out_dir, exist_ok=True)
-    write_table(gen_region(spark), out_dir, "region")
-    write_table(gen_nation(spark), out_dir, "nation")
-    write_table(gen_customer(spark, c["customer"]), out_dir, "customer")
-    write_table(gen_supplier(spark, c["supplier"]), out_dir, "supplier")
-    write_table(gen_part(spark, c["part"]), out_dir, "part")
+    want = set(tables) if tables else None
+
+    def w(name, thunk):
+        if want is None or name in want:
+            write_table(thunk(), out_dir, name)
+
+    w("region", lambda: gen_region(spark))
+    w("nation", lambda: gen_nation(spark))
+    w("customer", lambda: gen_customer(spark, c["customer"]))
+    w("supplier", lambda: gen_supplier(spark, c["supplier"]))
+    w("part", lambda: gen_part(spark, c["part"]))
     orders = gen_orders(spark, c["orders"], c["customer"])
-    write_table(orders, out_dir, "orders")
-    write_table(
-        gen_lineitem(orders, c["part"], c["supplier"]), out_dir, "lineitem"
-    )
-    write_table(
-        gen_events(spark, c["events"], c["event_users"], hot_user_share),
-        out_dir,
-        "events",
-    )
-    write_table(gen_documents(spark, c["documents"]), out_dir, "documents")
-    write_table(gen_embeddings(spark, c["embeddings"]), out_dir, "embeddings")
+    w("orders", lambda: orders)
+    w("lineitem", lambda: gen_lineitem(orders, c["part"], c["supplier"]))
+    w("events", lambda: gen_events(spark, c["events"], c["event_users"], hot_user_share))
+    w("documents", lambda: gen_documents(spark, c["documents"]))
+    w("embeddings", lambda: gen_embeddings(spark, c["embeddings"]))
 
 
 def main() -> None:
@@ -362,9 +368,16 @@ def main() -> None:
         "--hot-user-share", type=float, default=0.0,
         help="fraction of events assigned to user 0 (Zipf skew rehearsal)",
     )
+    ap.add_argument(
+        "--tables", default=None,
+        help="comma-separated subset of tables to generate (default: all)",
+    )
     args = ap.parse_args()
     spark = get_session("gen-sf", cpus=args.cpus)
-    generate(spark, args.sf, args.out, args.hot_user_share)
+    generate(
+        spark, args.sf, args.out, args.hot_user_share,
+        tuple(args.tables.split(",")) if args.tables else None,
+    )
     print(f"wrote sf{args.sf} to {args.out}")
 
 
