@@ -307,7 +307,7 @@ def _sessionize_lag(e: DataFrame) -> DataFrame:
     doc="Skew-proof sessionization — identical semantics (and oracle) "
     "to sessionize_events, without its scale cliff. The lag "
     "formulation funnels every event of a key through ONE task: on a "
-    "30%%-one-user corpus at sf10 it runs 4× its uniform-data time "
+    "30%-one-user corpus at sf10 it runs 4× its uniform-data time "
     "while 31 cores idle. The hybrid counts rows per key (one cheap "
     "partial-agg pass), routes keys above HOT_KEY_THRESHOLD through "
     "the segmented-scan decomposition (_sessionize_segmented: "
