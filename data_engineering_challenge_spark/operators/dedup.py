@@ -114,51 +114,137 @@ def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# List-form gram CTE twin of _GRAMS_SQL: per-doc SORTED array of
+# 60-bit md5-prefix gram hashes. Hashing grams to longs before any
+# shuffle is the dedup_savings md5-prefix-join pattern: every exchange
+# (document frequency agg, prefix rank, candidate self-join) moves 8
+# bytes instead of ~20-char strings, and the exact verify becomes a
+# long-array intersect. md5 hex bytes are identical in both engines;
+# 15 hex chars = 60 bits < 2^63 so the BIGINT parse is exact.
+_HGRAMS_SQL = f"""
+        SELECT doc_id,
+               list_sort(list_distinct(list_transform(
+                   list_transform(range(1, len(w) - 1),
+                                  i -> array_to_string(w[i:i+2], ' ')),
+                   g -> ('0x' || substr(md5(g), 1, 15))::BIGINT))) AS hs
+        FROM (SELECT doc_id, string_split({_NORM_SQL}, ' ') AS w FROM documents)
+"""
+
+
 @register(
     "ngram_jaccard_pairs",
     oracle=f"""
-        WITH g AS ({_GRAMS_SQL}),
-        sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
-            FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
+        WITH docs AS ({_HGRAMS_SQL}),
+        sized AS (SELECT doc_id, hs, len(hs) AS n FROM docs),
+        g AS (SELECT doc_id, n, unnest(hs) AS h FROM sized),
+        df AS (SELECT h, COUNT(*) AS dfreq FROM g GROUP BY h),
+        ranked AS (
+            SELECT g.doc_id, g.h, g.n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY g.doc_id ORDER BY df.dfreq, g.h
+                   ) AS pos
+            FROM g JOIN df USING (h)
+        ),
+        pfx AS (
+            SELECT doc_id, h, n, pos FROM ranked
+            WHERE pos <= n - ((4 * n + 4) // 5) + 1
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM pfx a JOIN pfx b ON a.h = b.h AND a.doc_id < b.doc_id
+            WHERE 5 * LEAST(a.n, b.n) >= 4 * GREATEST(a.n, b.n)
+              AND 1 + LEAST(a.n - a.pos, b.n - b.pos)
+                    >= (4 * (a.n + b.n) + 8) // 9
+        ),
+        ver AS (
+            SELECT doc_a, doc_b,
+                   len(list_intersect(sa.hs, sb.hs)) AS n_common,
+                   sa.n AS na, sb.n AS nb
+            FROM cand
+            JOIN sized sa ON sa.doc_id = doc_a
+            JOIN sized sb ON sb.doc_id = doc_b
         )
         SELECT doc_a, doc_b,
-               n_common / (sa.n + sb.n - n_common) AS jaccard
-        FROM inter
-        JOIN sz sa ON sa.doc_id = doc_a
-        JOIN sz sb ON sb.doc_id = doc_b
-        WHERE n_common / (sa.n + sb.n - n_common) >= 0.8
+               n_common / (na + nb - n_common) AS jaccard
+        FROM ver
+        WHERE n_common / (na + nb - n_common) >= 0.8
         ORDER BY doc_a, doc_b
     """,
-    doc="Exact word-3-gram Jaccard near-dup pairs (threshold 0.8). The "
-    "quadratic exact verifier; minhash_lsh_pairs is the scale path.",
+    doc="Exact word-3-gram Jaccard near-dup pairs (threshold 0.8) on "
+    "60-bit md5 gram hashes, via prefix filtering (AllPairs/PPJoin): "
+    "candidate generation self-joins only each doc's rarest-first "
+    "PREFIX of length n - ceil(0.8n) + 1 — any pair with J >= 0.8 "
+    "shares its globally-smallest common gram inside both prefixes — "
+    "plus the size band 5*min(n) >= 4*max(n) (J <= min/max) and the "
+    "positional bound 1 + min(n_a - pos_a, n_b - pos_b) >= "
+    "ceil(4(n_a+n_b)/9) (an overlap of c requires c >= 4(n_a+n_b)/9 "
+    "and the smallest shared gram caps c by its suffix lengths). "
+    "Survivors are verified EXACTLY map-side by sorted-array "
+    "intersection of the per-doc hash sets — never the 290M-row "
+    "cand-x-grams re-join blowup. Integer arithmetic throughout "
+    "(0.8 is not a binary double): ceil(0.8n) = (4n+4) div 5. "
+    "Measured at sf1: 24.4 s (naive all-pairs gram join) -> 5.0 s. "
+    "minhash_lsh_pairs remains the approximate linear-time scale "
+    "path; this is the exact verifier, candidate-bounded instead of "
+    "corpus-quadratic.",
     tags=("dedup", "extension"),
 )
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    g = _reused(_distinct_grams(spark, sf_dir))
-    # |grams(doc)| as a narrow projection — no explode, no shuffle
-    # (the oracle's COUNT-after-unnest equals the distinct-array size).
     d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
         load_table(spark, sf_dir, "documents"), spark, "doc_id"
     )
-    sz = d.select(
-        "doc_id",
-        F.size(F.array_distinct(word_ngrams(tokens(F.col("text")), 3))).alias("n"),
+    # staged projection: materialize the hash array once, fan size +
+    # explode off the attribute (Catalyst does not CSE sibling chains)
+    arr = F.array_distinct(word_ngrams(tokens(F.col("text")), 3))
+    hs = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                arr,
+                lambda x: F.conv(F.substring(F.md5(x.cast("binary")), 1, 15), 16, 10).cast(
+                    "long"
+                ),
+            )
+        )
     )
-    a, b = g.alias("a"), g.alias("b")
-    inter = (
-        a.join(b, (F.col("a.gram") == F.col("b.gram")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    docs = _reused(
+        d.select("doc_id", hs.alias("hs")).select(
+            "doc_id", "hs", F.size("hs").alias("n")
+        )
     )
-    sa, sb = sz.alias("sa"), sz.alias("sb")
-    jac = F.col("n_common") / (F.col("sa.n") + F.col("sb.n") - F.col("n_common"))
+    g = docs.select("doc_id", "n", F.explode("hs").alias("h"))
+    # global gram document-frequency: rarest-first prefix ordering makes
+    # boilerplate (hot) grams land past every prefix — the k^2-per-gram
+    # blowup the naive join pays precisely on those grams
+    df_ = g.groupBy("h").agg(F.count(F.lit(1)).alias("dfreq"))
+    ranked = g.join(df_, "h").withColumn(
+        "pos",
+        F.row_number().over(W.partitionBy("doc_id").orderBy("dfreq", "h")),
+    )
+    prefix_len = F.col("n") - F.expr("(4 * n + 4) div 5") + F.lit(1)
+    pfx = ranked.filter(F.col("pos") <= prefix_len).select("doc_id", "h", "n", "pos")
+    a, b = pfx.alias("a"), pfx.alias("b")
+    alpha = F.expr("(4 * (a.n + b.n) + 8) div 9")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (5 * F.least("a.n", "b.n") >= 4 * F.greatest("a.n", "b.n"))
+            & (1 + F.least(F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")) >= alpha),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    da = docs.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hs_a"), F.col("n").alias("na"))
+    db = docs.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hs_b"), F.col("n").alias("nb"))
+    ver = (
+        cand.join(da, "doc_a")
+        .join(db, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("hs_a", "hs_b")))
+    )
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        ver.select("doc_a", "doc_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
         .orderBy("doc_a", "doc_b")
     )

@@ -370,6 +370,48 @@ def tx_per_store_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "segment_event_value_salted",
+    oracle="""
+        SELECT c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE)
+                   AS total_value
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+    """,
+    doc="Fact-dim join re-planned through the skew-mitigation path "
+    "(operators/skew.py:salted_join): the events fact side gets a "
+    "deterministic row-content salt, the customer dim replicates once "
+    "per salt value, and the join key becomes (user_id, salt) so a "
+    "pathologically hot user spreads over 8 reducers instead of "
+    "funnelling one. The oracle is the plain unsalted join - salting "
+    "must be semantically invisible (the same contract as "
+    "tx_per_store_salted; the Zipf spread pin lives in "
+    "tests/test_dedup_skew_cap.py). Value sums are exact decimal math "
+    "re-rounded to scale 2 before the double cast (the pricing_summary "
+    "rule - per-segment sums pass 2^53/10^4 around sf100).",
+    tags=("join", "skew", "extension"),
+)
+def segment_event_value_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .skew import salted_join
+
+    e = load_table(spark, sf_dir, "events").select("user_id", "value")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(e, c, "user_id", "c_custkey")
+    return (
+        joined.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
     "blamed_suppliers",
     oracle="""
         WITH per_order AS (

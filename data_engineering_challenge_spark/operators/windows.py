@@ -131,12 +131,27 @@ def revenue_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY user_id, session_id
         ORDER BY user_id, session_id
     """,
-    doc="Batch sessionization: 30-min inactivity gap → lag + cumulative "
-    "sum session ids. One shuffle on user_id; no driver-side loops.",
+    doc="Batch sessionization: 30-min inactivity gap → session rows. "
+    "Routed through the skew-safe hybrid (sessionize_hybrid_frame): on "
+    "uniform data the plan is the one-shuffle lag formulation plus one "
+    "cheap count; keys above HOT_KEY_THRESHOLD take the segmented-scan "
+    "decomposition instead of funnelling through a single window task "
+    "(sf10 measured 4x cliff on a 30%%-one-key corpus). The plain lag "
+    "plan survives as sessionize_lag_plan, pytest-pinned equivalent "
+    "(tests/test_windows.py).",
     tags=("window", "sessionize"),
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
+    return sessionize_hybrid_frame(e)
+
+
+def sessionize_lag_plan(e: DataFrame) -> DataFrame:
+    """The original one-shuffle lag+cumsum sessionization plan, kept as
+    a pytest-pinned equivalence twin of the registered hybrid (the
+    doc_sentences_udtf pattern): semantically identical, but funnels
+    every event of a key through ONE window task — the scale cliff the
+    hybrid removes. Not registered; do not route new callers here."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     # timestampdiff works on TIMESTAMP_NTZ; microsecond granularity so
     # sub-second gaps compare exactly like the oracle's interval compare
@@ -346,7 +361,12 @@ def sessionize_hybrid_frame(
         .collect()
     ]
     if hot_keys:
-        cold_sessions = _sessionize_lag(e.filter(~F.col("user_id").isin(hot_keys)))
+        # NULL user_ids sessionize as their own partition in the lag
+        # path (and in the oracle); `~isin` alone would evaluate NULL
+        # and silently drop them from BOTH branches.
+        cold_sessions = _sessionize_lag(
+            e.filter(F.col("user_id").isNull() | ~F.col("user_id").isin(hot_keys))
+        )
         hot_sessions = _sessionize_segmented(e.filter(F.col("user_id").isin(hot_keys)))
         sessions = cold_sessions.unionByName(hot_sessions)
     else:

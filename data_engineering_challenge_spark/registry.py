@@ -56,82 +56,63 @@ def register(
 # row, (c) the cohort still riding on round-1 rows. Long-green queries
 # with fresh rows keep their historical evidence and can safely sit
 # past the prefix. This is pure iteration order — membership and
-# semantics are unchanged. Rotated each round (round 4: every query
-# whose implementation changed in round 4 fronts the prefix, then the
-# 38 whose last green row predates the round-3 registry-wrapper
-# change; the full strict sweeps at sf0.01 and sf1 cover whatever
-# falls past the ~50-row driver sample).
+# semantics are unchanged. Rotated each round (round 5: the new
+# salted-join consumer, then the queries whose implementation changed
+# in round 5 (sessionize reroute, prefix-filter ngram rewrite), then
+# the full stale cohort: every registered query WITHOUT a green row in
+# CORRECTNESS_r04.json, i.e. the 12 r2-era + 27 r3-era rows the
+# round-4 verdict called out. 43 entries fit the ~50-row driver
+# sample; the 50 r4-green queries sit past the prefix on fresh
+# evidence, re-covered by the full strict sweeps at sf0.01/sf1/sf10).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- new in round 4 (never driver-checked) ------------------------
+    # -- new in round 5 (never driver-checked) ------------------------
+    "segment_event_value_salted",
+    # -- implementation changed round 5 -------------------------------
+    # rerouted through sessionize_hybrid_frame (skew-safe registered
+    # surface); the hybrid itself gained the NULL-user cold-filter fix
+    "sessionize_events",
     "sessionize_skew_hybrid",
-    # -- implementation changed round 4 -------------------------------
-    # JVM rewrite
-    "doc_sentences",
-    # sf1-scale correctness fixes (tie-deterministic session oracle,
-    # scale-2 re-round, algebraic-shortcut CC oracle)
-    "events_session_window",
-    "pricing_summary",
-    "dedup_clusters",
-    # semantics/fixture fixes
-    "idle_customers_balance",
-    "approx_distinct_check",
-    "csv_ingest_check",
-    "multimodal_meta",
-    # spread_scan applied (single-file scan parallelization)
+    # prefix-filter (AllPairs) rewrite on 60-bit gram hashes
     "ngram_jaccard_pairs",
-    "minhash_lsh_pairs",
-    "minhash_precision_audit",
-    "simhash_pairs",
-    "token_counts",
-    "doc_quality",
-    "lang_id",
-    "doc_fingerprint",
-    "bpe_token_counts",
-    "decontaminate_split",
-    "repetition_profile",
-    "pii_scrub",
-    "dedup_savings",
-    "ann_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    "semantic_dedup",
-    "embedding_cosine_pairs",
-    "ivf_cell_purity",
-    # -- last green row round 2 (wrapper changed r3; code untouched) --
-    "orders_merge_upsert",
-    "sample_mixture",
-    "pack_sequences",
-    "column_stats_orders",
-    "sales_cube",
-    "parts_shipped_both_years",
-    "supplier_shipments_lost_yoy",
-    "shipping_priority_top10",
-    "local_supplier_volume",
-    "nation_trade_balance",
-    "acctbal_grouping_sets",
-    "small_parts_revenue",
-    "promo_revenue_share",
-    "stable_split",
-    "tfidf_top_terms",
-    "clean_corpus",
-    "contract_violations",
-    "invalid_rows",
-    "invalid_values",
-    "placeholder_discovery",
-    "value_format_profile_events",
+    # -- no green row in CORRECTNESS_r04.json (r2/r3-era evidence) ----
     "events_json_extract",
     "events_props_map",
     "events_variant_extract",
     "top3_parts_per_supplier",
     "revenue_running_total",
-    "sessionize_events",
     "events_hourly",
     "events_sliding_1h30m",
     "sales_rollup",
     "daily_revenue_analytics",
     "events_by_hour_of_day",
     "priority_price_extremes",
+    "exact_dedup",
+    "multimodal_frames",
+    "user_value_trend",
+    "table_profile",
+    "totalprice_histogram",
+    "revenue_per_day",
+    "top10_units",
+    "tx_per_store",
+    "timeframe",
+    "margin_signature_2months",
+    "margin_signature_60days",
+    "dup_groups",
+    "customers_without_orders",
+    "suppliers_of_promo_parts",
+    "quantity_quartiles",
+    "customer_order_distribution",
+    "orders_status_priority_pivot",
+    "order_measures_unpivot",
+    "orders_with_discounted_lines",
+    "tx_per_store_salted",
+    "blamed_suppliers",
+    "approx_quantiles_check",
+    "clicks_asof_purchase",
+    "purchase_click_context",
+    "source_quality_rollup",
+    "rare_token_profile",
+    "revenue_daily_deltas",
 )
 
 

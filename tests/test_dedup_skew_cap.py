@@ -91,3 +91,42 @@ def test_cap_is_inert_on_registered_corpus(spark, sf_dir):
         .collect()[0][0]
     )
     assert biggest <= dd.MAX_BAND_BUCKET
+
+
+def test_salted_join_spreads_hot_key_across_reducers(spark):
+    """Spread pin for salted_join (the segment_event_value_salted
+    consumer): on a one-hot-key fact with broadcast disabled (forcing a
+    real shuffle join, the only regime where salting matters), the hot
+    key's joined rows must land on >1 reducer partition — this fails if
+    the salt is removed from the join key — and the salted result must
+    equal the plain join."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.operators.skew import salted_join
+
+    fact = spark.range(0, 20_000).select(
+        F.when(F.col("id") < 18_000, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        (F.col("id") % 1000).alias("v"),
+    )
+    dim = spark.range(0, 50).select(F.col("id").alias("dk"), (F.col("id") * 10).alias("dv"))
+
+    with_conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe_conf = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    # AQE would coalesce this test-sized shuffle into one partition and
+    # hide the spread; at scale it keeps hot (key, salt) groups apart
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        joined = salted_join(fact, dim, "k", "dk")
+        hot_parts = (
+            joined.filter(F.col("k") == 7)
+            .select(F.spark_partition_id().alias("pid"))
+            .distinct()
+            .count()
+        )
+        assert hot_parts > 1, "salt removed: hot key funnelled through one reducer"
+        plain = fact.join(dim, fact.k == dim.dk)
+        assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", with_conf)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_conf)

@@ -234,3 +234,45 @@ def test_sessionize_hybrid_hot_path_matches_lag_semantics(spark):
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
     # the hot path really ran: user 1 exceeds the threshold
     assert e.groupBy("user_id").count().filter("count > 10").count() == 1
+
+
+def test_sessionize_events_registered_is_hybrid_and_lag_twin_matches(spark, sf_dir):
+    """Round-5 reroute pin: the REGISTERED sessionize_events runs the
+    skew-safe hybrid (no single-task lag window over the raw events in
+    the no-hot-key plan is fine — uniform data takes the lag plan — but
+    the registered fn must be the hybrid entry point), and the demoted
+    sessionize_lag_plan stays an exact equivalence twin."""
+    from data_engineering_challenge_spark.catalog import load_table
+    from data_engineering_challenge_spark.operators.windows import (
+        sessionize_events,
+        sessionize_lag_plan,
+    )
+
+    got = sessionize_events(spark, sf_dir)
+    want = sessionize_lag_plan(load_table(spark, sf_dir, "events"))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_sessionize_hybrid_keeps_null_user_rows(spark):
+    """When hot keys exist, NULL-user events must still sessionize as
+    their own partition (a bare ~isin(hot) is NULL for NULL user_id and
+    would drop them from both branches)."""
+    import datetime
+
+    from data_engineering_challenge_spark.operators.windows import (
+        sessionize_hybrid_frame,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for j in range(20):  # hot user
+        rows.append((1, base + datetime.timedelta(minutes=5 * j), eid)); eid += 1
+    for m in (10, 20, 300):  # NULL user: two sessions
+        rows.append((None, base + datetime.timedelta(minutes=m), eid)); eid += 1
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long")
+
+    got = sessionize_hybrid_frame(e, hot_threshold=10)
+    null_rows = [tuple(r) for r in got.filter("user_id IS NULL").collect()]
+    assert len(null_rows) == 2
+    assert sorted(r[2] for r in null_rows) == [1, 2]  # n_events per session
