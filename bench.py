@@ -114,7 +114,11 @@ def main() -> None:
         # worker-pool cold start. On a long-lived cluster the pool is
         # warm; a cold-start study should set SPARK_GRAFT_BENCH_REPS=1
         # and subtract this warm-up explicitly.
-        spark.range(0, 64, 1, 64).mapInPandas(
+        # one partition per scheduling slot — a fixed literal would only
+        # partially warm a >N-core session and the residual spin-up
+        # would land on the first Python-stage query anyway
+        n_slots = spark.sparkContext.defaultParallelism
+        spark.range(0, n_slots, 1, n_slots).mapInPandas(
             lambda it: (pdf for pdf in it), schema="id long"
         ).collect()
         # SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts to a subset — used for

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -118,13 +119,16 @@ def _source_signature(sf_dir: str) -> str:
             )
             sig = ";".join(
                 f"{p}:{os.path.getsize(os.path.join(path, p))}:"
-                f"{int(os.path.getmtime(os.path.join(path, p)))}"
+                f"{os.stat(os.path.join(path, p)).st_mtime_ns}"
                 for p in parts
             )
         else:
-            sig = f"{os.path.getsize(path)}:{int(os.path.getmtime(path))}"
+            sig = f"{os.path.getsize(path)}:{os.stat(path).st_mtime_ns}"
     except OSError:
-        sig = "unknown"
+        # an unreadable/just-regenerated source must never key to a
+        # stable value (a constant would silently reuse a stale export);
+        # a unique token forces a fresh export on every call
+        sig = f"unreadable:{os.getpid()}:{time.monotonic_ns()}"
     return sig
 
 
@@ -137,8 +141,6 @@ def _point_oracle_link(dest: str) -> None:
     oracle read. Sequential runs at any mix of SFs are safe (each call
     repoints before its oracle executes); the driver and every local
     harness run queries sequentially."""
-    import sys
-
     tmp = f"{_ORACLE_LINK}.tmp.{os.getpid()}"
     try:
         if os.path.lexists(_ORACLE_LINK) and not os.path.islink(_ORACLE_LINK):
@@ -151,13 +153,15 @@ def _point_oracle_link(dest: str) -> None:
         os.symlink(dest, tmp)
         os.replace(tmp, _ORACLE_LINK)
     except OSError as e:
-        # a failed repoint would make the oracle read a stale fixture —
-        # surface it instead of letting the mismatch masquerade as an
-        # ingest-kit bug
-        print(
-            f"warning: csv_ingest_check oracle link repoint failed: {e}",
-            file=sys.stderr,
-        )
+        # a failed repoint would make the oracle read the PREVIOUS scale
+        # factor's fixture and the resulting row mismatch would
+        # masquerade as an ingest-kit correctness bug — raise instead of
+        # warn-and-continue (a buried stderr line in driver-captured
+        # output is effectively invisible)
+        raise RuntimeError(
+            f"csv_ingest_check oracle link repoint failed ({_ORACLE_LINK} "
+            f"-> {dest}); refusing to run against a possibly stale fixture"
+        ) from e
 
 
 @register(
