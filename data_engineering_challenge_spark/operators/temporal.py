@@ -47,6 +47,13 @@ def asof_join(
 
     Returns the left columns plus `right_values` (null when no prior
     right row exists).
+
+    Caller contract for deterministic results: the right side must be
+    UNIQUE per (on, right_time). Among several right rows at the same
+    instant, the unbounded-preceding `last()` (and DuckDB's native
+    ASOF) picks arbitrarily — pre-aggregate ties away (e.g.
+    max_by(value, id)) as clicks_asof_purchase does; same-key
+    same-microsecond collisions first appear around sf10 row counts.
     """
     left_cols = left.columns
     l_tagged = left.select(
@@ -85,14 +92,24 @@ def asof_join(
                p.ts AS purchase_ts,
                p.value AS purchase_value
         FROM (SELECT * FROM events WHERE event_type = 'click') c
-        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (
+            SELECT user_id, ts, arg_max(value, event_id) AS value
+            FROM events WHERE event_type = 'purchase'
+            GROUP BY user_id, ts
+        ) p
           ON c.user_id = p.user_id AND c.ts >= p.ts
         ORDER BY click_id
     """,
     doc="As-of join: each click annotated with the user's most recent "
     "purchase at or before it (nulls when none). Spark side is the "
     "union-merge composition in asof_join(); the DuckDB native ASOF "
-    "JOIN is the specification.",
+    "JOIN is the specification. The purchase side is first reduced to "
+    "ONE row per (user_id, ts) — the highest event_id's value — "
+    "because BOTH an ASOF join and the union-merge window pick "
+    "arbitrarily among equal-timestamp right rows: same-user "
+    "same-microsecond purchase pairs first appear at sf10 (caught by "
+    "the round-5 sf10 strict sweep as a value divergence; the r4 sf1 "
+    "sweep's window-tie finding, one scale decade later).",
     tags=("temporal", "join", "extension"),
 )
 def clicks_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -100,8 +117,10 @@ def clicks_asof_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = e.filter(F.col("event_type") == "click").select(
         F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
     )
-    purchases = e.filter(F.col("event_type") == "purchase").select(
-        "user_id", F.col("ts").alias("purchase_ts"), F.col("value").alias("purchase_value")
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", F.col("ts").alias("purchase_ts"))
+        .agg(F.max_by("value", "event_id").alias("purchase_value"))
     )
     return asof_join(
         clicks,

@@ -58,11 +58,11 @@ def register(
 # past the prefix. This is pure iteration order — membership and
 # semantics are unchanged. Rotated each round (round 5: the new
 # salted-join consumer, then the queries whose implementation changed
-# in round 5 (sessionize reroute, prefix-filter ngram rewrite), then
-# the full stale cohort: every registered query WITHOUT a green row in
-# CORRECTNESS_r04.json, i.e. the 12 r2-era + 27 r3-era rows the
-# round-4 verdict called out. 43 entries fit the ~50-row driver
-# sample; the 50 r4-green queries sit past the prefix on fresh
+# in round 5 (sessionize reroute, prefix-filter ngram rewrite, as-of
+# tie fix), then the full stale cohort: every registered query WITHOUT
+# a green row in CORRECTNESS_r04.json, i.e. the 12 r2-era + 27 r3-era
+# rows the round-4 verdict called out. 42 entries fit the ~50-row
+# driver sample; the r4-green queries sit past the prefix on fresh
 # evidence, re-covered by the full strict sweeps at sf0.01/sf1/sf10).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 5 (never driver-checked) ------------------------
@@ -74,6 +74,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sessionize_skew_hybrid",
     # prefix-filter (AllPairs) rewrite on 60-bit gram hashes
     "ngram_jaccard_pairs",
+    # as-of tie fix (sf10 sweep finding): purchase side deduped per
+    # (user_id, ts) via max_by(value, event_id), mirrored in oracle
+    "clicks_asof_purchase",
     # -- no green row in CORRECTNESS_r04.json (r2/r3-era evidence) ----
     "events_json_extract",
     "events_props_map",
@@ -108,7 +111,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "tx_per_store_salted",
     "blamed_suppliers",
     "approx_quantiles_check",
-    "clicks_asof_purchase",
     "purchase_click_context",
     "source_quality_rollup",
     "rare_token_profile",

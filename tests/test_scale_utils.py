@@ -276,3 +276,40 @@ def test_sessionize_hybrid_keeps_null_user_rows(spark):
     null_rows = [tuple(r) for r in got.filter("user_id IS NULL").collect()]
     assert len(null_rows) == 2
     assert sorted(r[2] for r in null_rows) == [1, 2]  # n_events per session
+
+
+def test_asof_tie_purchases_resolve_to_highest_event_id(spark):
+    """sf10 regression pin (round 5): two purchases for the same user at
+    the SAME microsecond — the as-of result must carry the highest
+    event_id's value on both engines (an undeduped right side makes both
+    the union-merge window and DuckDB's native ASOF pick arbitrarily)."""
+    import datetime
+
+    import duckdb
+
+    from data_engineering_challenge_spark import testing
+    from data_engineering_challenge_spark.registry import all_queries
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        (1, 100, base, "purchase", 10.0, None),
+        (1, 101, base, "purchase", 99.0, None),  # same ts, higher event_id wins
+        (1, 200, base + datetime.timedelta(minutes=5), "click", 0.0, None),
+    ]
+    e = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts timestamp_ntz, event_type string, value double, props string"
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp(prefix="asof_tie_")
+    e.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    spec = all_queries()["clicks_asof_purchase"]
+    got = spec.fn(spark, d)
+    rows_got = [tuple(r) for r in got.collect()]
+    assert len(rows_got) == 1 and rows_got[0][4] == 99.0, rows_got
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{d}/events.parquet/*.parquet'")
+    d_cols, d_rows = testing.run_oracle(con, spec.oracle)
+    ok, detail = testing.compare(got.columns, rows_got, d_cols, d_rows)
+    assert ok, detail
