@@ -353,12 +353,19 @@ def sessionize_hybrid_frame(
     # key is hot — measured 1.2 s of pure tax otherwise at sf10), and
     # when keys ARE hot, isin-literal filters push into the scan
     # instead of planning broadcast joins.
+    # NULL user_ids are excluded from the hot set even when the NULL
+    # group itself exceeds the threshold: a None inside an isin() list
+    # makes `~isin` evaluate to NULL (never true) for EVERY cold
+    # non-null key under SQL IN semantics, silently emptying the cold
+    # branch. NULL rows always route to the lag path, where they
+    # sessionize as their own partition exactly as the oracle does.
     hot_keys = [
         r.user_id
         for r in e.groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") > hot_threshold)
         .collect()
+        if r.user_id is not None
     ]
     if hot_keys:
         # NULL user_ids sessionize as their own partition in the lag

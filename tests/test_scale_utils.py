@@ -278,6 +278,40 @@ def test_sessionize_hybrid_keeps_null_user_rows(spark):
     assert sorted(r[2] for r in null_rows) == [1, 2]  # n_events per session
 
 
+def test_sessionize_hybrid_null_group_itself_hot(spark):
+    """If the NULL-user group ITSELF exceeds hot_threshold, None must
+    not enter the hot-key isin list: a None inside isin() makes
+    ~isin evaluate to NULL for every cold non-null key, silently
+    emptying the cold branch. NULL rows always take the lag path."""
+    import datetime
+
+    from data_engineering_challenge_spark.operators.windows import (
+        sessionize_hybrid_frame,
+    )
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for j in range(20):  # NULL group is hot (20 > threshold 10)
+        rows.append((None, base + datetime.timedelta(minutes=5 * j), eid)); eid += 1
+    for j in range(15):  # hot non-null user
+        rows.append((1, base + datetime.timedelta(minutes=5 * j), eid)); eid += 1
+    for m in (10, 20, 300):  # cold user 2: two sessions
+        rows.append((2, base + datetime.timedelta(minutes=m), eid)); eid += 1
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp_ntz, event_id long")
+
+    got = sessionize_hybrid_frame(e, hot_threshold=10)
+    # cold user survives with both sessions
+    cold = [tuple(r) for r in got.filter("user_id = 2").collect()]
+    assert len(cold) == 2
+    assert sorted(r[2] for r in cold) == [1, 2]
+    # NULL group sessionizes as one 20-event session via the lag path
+    null_rows = [tuple(r) for r in got.filter("user_id IS NULL").collect()]
+    assert len(null_rows) == 1 and null_rows[0][2] == 20
+    # hot user still present
+    assert got.filter("user_id = 1").count() == 1
+
+
 def test_asof_tie_purchases_resolve_to_highest_event_id(spark):
     """sf10 regression pin (round 5): two purchases for the same user at
     the SAME microsecond — the as-of result must carry the highest

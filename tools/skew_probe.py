@@ -36,7 +36,11 @@ def time_plan(fn, reps: int = 2) -> float:
     for _ in range(reps):
         drain_cache_ledger()
         t0 = time.perf_counter()
-        fn().foreach(lambda r: None)  # full materialization, no driver collect
+        # JVM-side noop batch sink: full materialization without
+        # serializing rows through Python workers (foreach would bill a
+        # 9.5M-row Python round-trip to both plans, diluting the cliff
+        # ratio this probe exists to report).
+        fn().write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
     return round(best, 2)
 
