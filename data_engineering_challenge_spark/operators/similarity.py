@@ -37,6 +37,35 @@ PLANES_PER_BAND = 8
 DIM = 64
 COSINE_DUP_THRESHOLD = 0.4  # synthetic embeddings are near-orthogonal;
 # a production near-dup run sets ~0.95+, where sign-LSH recall is high
+# Hot-bucket cap for embedding_cosine_pairs (SCALING.md "Threshold
+# provenance"): a sign-LSH band has only 2^PLANES_PER_BAND = 256
+# buckets, so on a clustered corpus one (band, bucket) can hold a whole
+# cluster → k² candidates in the self-join regardless of AQE (the sf10
+# gen_sf corpus put ~3200 vectors in each cluster bucket → 35.9M output
+# pairs). Unlike MinHash's md5 band-hash (unbounded key space, absolute
+# cap works), fixed-resolution sign buckets densify LINEARLY with
+# corpus size, so the cap is RELATIVE: drop buckets more than
+# COSINE_BUCKET_CAP_FACTOR× denser than the uniform expectation
+# n/256, floored at COSINE_BUCKET_CAP_MIN so small corpora keep every
+# bucket. Both engines derive the cap from the same integer COUNT →
+# bit-replayable. Dropped buckets are dense near-duplicate cores whose
+# pairs carry no ranking information (same rationale as
+# dedup.MAX_BAND_BUCKET); recall degrades per-band, gracefully. At
+# cluster scale the structural fix is PLANES_PER_BAND ≈ log2(n) so
+# bucket count tracks corpus size; the cap is the skew escape hatch
+# that holds either way.
+COSINE_BUCKET_CAP_MIN = 64
+COSINE_BUCKET_CAP_FACTOR = 8
+
+
+def _cosine_bucket_cap(n: int) -> int:
+    """max(64, 8·⌈n/256⌉) — mirrored literally in the oracle CTE."""
+    n_buckets = 1 << PLANES_PER_BAND
+    return max(
+        COSINE_BUCKET_CAP_MIN,
+        COSINE_BUCKET_CAP_FACTOR * ((n + n_buckets - 1) // n_buckets),
+    )
+
 # IVF coarse cells: every stride-th vector is a centroid seed — a
 # deterministic stand-in for trained KMeans that the oracle can replay.
 # Stride sampling matters: "first k ids" would draw every centroid from
@@ -246,10 +275,20 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         buckets AS (
             {" UNION ALL ".join(f"SELECT vec_id, {b} AS band, {_band_bucket_sql('v', b)} AS bucket FROM e" for b in range(LSH_BANDS))}
         ),
+        nc AS (SELECT COUNT(*) AS n FROM e),
+        capped AS (
+            SELECT vec_id, band, bucket FROM (
+                SELECT vec_id, band, bucket,
+                       COUNT(*) OVER (PARTITION BY band, bucket) AS bsz
+                FROM buckets
+            ), nc
+            WHERE bsz <= GREATEST({COSINE_BUCKET_CAP_MIN},
+                                  {COSINE_BUCKET_CAP_FACTOR} * ((nc.n + {(1 << PLANES_PER_BAND) - 1}) // {1 << PLANES_PER_BAND}))
+        ),
         cand AS (
             SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-            FROM buckets a
-            JOIN buckets b ON a.band = b.band AND a.bucket = b.bucket
+            FROM capped a
+            JOIN capped b ON a.band = b.band AND a.bucket = b.bucket
                           AND a.vec_id < b.vec_id
         )
         SELECT vec_a, vec_b, cosine_sim FROM (
@@ -269,8 +308,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding-cosine). Approximate by design — recall follows the LSH "
     "collision curve, mirrored exactly in the oracle; the demo threshold "
     "is low because synthetic vectors are near-orthogonal. Scale: the "
-    "only corpus-sized shuffle is keyed on (band, bucket) — no O(n²) "
-    "pair materialization outside shared buckets.",
+    "only corpus-sized shuffle is keyed on (band, bucket), and buckets "
+    "denser than max(64, 8·⌈n/256⌉) — 8× the uniform expectation — are "
+    "dropped from candidate generation on BOTH engines (hot-bucket skew "
+    "cap, same semantics as dedup.MAX_BAND_BUCKET), so a clustered "
+    "corpus can never hand one reducer a quadratic cell.",
     tags=("dedup", "similarity", "lsh", "extension"),
 )
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -279,6 +321,18 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     buckets = track_persist(
         e.select("vec_id", F.posexplode(band_arr).alias("band", "bucket")),
         StorageLevel.MEMORY_AND_DISK,  # both sides of the bucket self-join
+    )
+    # hot-bucket cap: windowed count shuffles on exactly the join key
+    # (band, bucket) — no extra exchange — and the self-join below never
+    # sees a bucket above the cap. The corpus count is a scalar driver
+    # decision off the already-persisted frame (same pattern as the
+    # sessionize hot-key probe), NOT a data collect.
+    cap = _cosine_bucket_cap(e.count())
+    bucket_w = W.partitionBy("band", "bucket")
+    buckets = (
+        buckets.withColumn("bsz", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("bsz") <= cap)
+        .drop("bsz")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
