@@ -493,6 +493,43 @@ def _stride_centroids(e: DataFrame) -> DataFrame:
     )
 
 
+# Search-optimal cell count for the TRAINED quantizer (r5 VERDICT item
+# 5): with a fixed query fraction 1/QUERY_MOD and fixed N_PROBE, total
+# search cost = assignment n·c + probing (n/QUERY_MOD)·N_PROBE·(n/c),
+# minimized at c* = √(n·N_PROBE/QUERY_MOD) ≈ √n/4 — not the √n the
+# untrained/semdedup stride uses (semantic_dedup's within-cell pair
+# scan costs n²/c, so FEWER cells would hurt it; each operator gets its
+# balance point). The trained path pays assignment 3× (2 k-median
+# rounds + final), so the 4× fewer cells cut its sf10 cost ~97→~30 s.
+# Same GREATEST floors as _STRIDE_SQL; both engines compute the stride
+# from the same COUNT with identical double arithmetic.
+_TRAINED_STRIDE_SQL = (
+    "SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / GREATEST("
+    f"CEIL(SQRT(COUNT(*) * {N_PROBE}.0 / {QUERY_MOD}.0)), 1)) AS BIGINT)) "
+    "AS stride FROM e"
+)
+
+
+def _trained_stride_centroids(e: DataFrame) -> DataFrame:
+    n = F.count(F.lit(1))
+    cells = F.greatest(
+        F.ceil(F.sqrt(n * F.lit(float(N_PROBE)) / F.lit(float(QUERY_MOD)))),
+        F.lit(1).cast("bigint"),
+    )
+    params = e.agg(
+        F.greatest(
+            F.lit(1).cast("bigint"), F.floor(n / cells).cast("bigint")
+        ).alias("stride")
+    )
+    return (
+        e.crossJoin(F.broadcast(params))
+        .filter(F.col("vec_id") % F.col("stride") == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+        )
+    )
+
+
 def _kmedian_centroids(e: DataFrame, n_iter: int = N_KMEDIAN_ITER) -> DataFrame:
     """Refine the stride seeds with `n_iter` rounds of {assign by
     cosine → centroid = component-wise exact median}. Each round is one
@@ -500,7 +537,7 @@ def _kmedian_centroids(e: DataFrame, n_iter: int = N_KMEDIAN_ITER) -> DataFrame:
     (cell, component) pairs (64 rows per vector) for the order-statistic
     update — partitioning-invariant and oracle-replayable, unlike a
     float mean (module header). Empty cells drop out naturally."""
-    cents = _stride_centroids(e)
+    cents = _trained_stride_centroids(e)
     for _ in range(n_iter):
         assigned = _assign_nearest(e, cents, keep_v=True).select("cell", "v")
         med = (
@@ -573,7 +610,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ann_ivf_trained_topk",
     oracle=f"""
         WITH e AS ({_CORPUS_SQL}),
-        params AS ({_STRIDE_SQL}),
+        params AS ({_TRAINED_STRIDE_SQL}),
         cents0 AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e, params
                    WHERE vec_id % stride = 0),
         {_kmedian_iter_sql('cents0', 'cents1')},
