@@ -145,3 +145,18 @@ def test_backfill_touches_only_its_partitions(spark, sf_dir, tmp_path):
     assert untouched and all(before[m] == after[m] for m in untouched)
     # total rows unchanged: backfill replaced, never appended
     assert back.count() == o.count()
+
+
+def test_write_jdbc_gate_fails_fast_without_driver(spark, sf_dir):
+    """S8 literal DB-load parity is env-gated (no JDBC driver jar in
+    this container): write_jdbc must raise NotImplementedError from a
+    driver-side Class.forName probe BEFORE any job starts — never a
+    mid-write executor ClassNotFoundException."""
+    import pytest
+
+    from data_engineering_challenge_spark.catalog import load_table
+    from data_engineering_challenge_spark.sinks.writers import write_jdbc
+
+    o = load_table(spark, sf_dir, "orders").limit(5)
+    with pytest.raises(NotImplementedError, match="JDBC driver"):
+        write_jdbc(o, "jdbc:postgresql://localhost/x", "orders")
