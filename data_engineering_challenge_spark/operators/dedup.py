@@ -51,11 +51,12 @@ MINHASH_BANDS = 4  # 4 bands x 4 rows
 # generates its pairs (recall degrades gracefully, per-band). The cap
 # is part of the operator's defined semantics — the oracle applies the
 # identical rule, so the driver verifies the capped operator, not an
-# uncapped idealization.
+# uncapped idealization. Calibration + cluster re-tuning rule:
+# SCALING.md "Threshold provenance".
 MAX_BAND_BUCKET = 64
 SIMHASH_BITS = 60  # 4 chunks x 15 bits; < 2^63 so it fits BIGINT exactly
 SIMHASH_CHUNKS = 4
-SIMHASH_MAX_HAMMING = 3
+SIMHASH_MAX_HAMMING = 3  # provenance: SCALING.md "Threshold provenance"
 
 
 def _distinct_grams(spark: SparkSession, sf_dir: str) -> DataFrame:

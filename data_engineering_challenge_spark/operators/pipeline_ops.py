@@ -72,6 +72,8 @@ _TOK_SQL = f"string_split({_NORM_SQL}, ' ')"
 
 DECON_NGRAM = 8  # industry-standard contamination gram width
 MAX_GRAM_TRAIN_DF = 50  # grams in more train docs than this are boilerplate
+# (a language property, not a corpus-size property — see SCALING.md
+# "Threshold provenance" for the calibration corpus + re-tuning rule)
 
 
 def _gram_sql(n: int) -> str:

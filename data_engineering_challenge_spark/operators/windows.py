@@ -179,7 +179,9 @@ SESSION_GAP_US = 30 * 60 * 1_000_000
 SEG_CHUNK_US = 3_600 * 1_000_000  # 1-hour segments
 # keys with more rows than this take the segmented path (a frequency a
 # key only reaches when its single-task window sort would dominate a
-# stage); everything else keeps the cheaper one-shuffle lag plan
+# stage); everything else keeps the cheaper one-shuffle lag plan.
+# Per-task-memory bound, corpus-size-independent — calibration and
+# re-tuning rule in SCALING.md "Threshold provenance".
 HOT_KEY_THRESHOLD = 100_000
 
 _SESSIONIZE_ORACLE = """
