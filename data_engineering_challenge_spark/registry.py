@@ -56,65 +56,61 @@ def register(
 # row, (c) the cohort still riding on round-1 rows. Long-green queries
 # with fresh rows keep their historical evidence and can safely sit
 # past the prefix. This is pure iteration order — membership and
-# semantics are unchanged. Rotated each round (round 5: the new
-# salted-join consumer, then the queries whose implementation changed
-# in round 5 (sessionize reroute, prefix-filter ngram rewrite, as-of
-# tie fix), then the full stale cohort: every registered query WITHOUT
-# a green row in CORRECTNESS_r04.json, i.e. the 12 r2-era + 27 r3-era
-# rows the round-4 verdict called out. 42 entries fit the ~50-row
-# driver sample; the r4-green queries sit past the prefix on fresh
-# evidence, re-covered by the full strict sweeps at sf0.01/sf1/sf10).
+# semantics are unchanged. Rotated each round (round 6: the four
+# queries whose implementation changed this round — sign-LSH cap,
+# trained-IVF cell count, sessionize NULL-hot fix — then the 38
+# queries absent from CORRECTNESS_r05.json, whose newest driver rows
+# are r4-era. 42 entries fit the ~50-row driver sample; the r5-green
+# cohort sits past the prefix on fresh evidence, re-covered by the
+# full strict sweeps at sf0.01/sf1/sf10).
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- new in round 5 (never driver-checked) ------------------------
-    "segment_event_value_salted",
-    # -- implementation changed round 5 -------------------------------
-    # rerouted through sessionize_hybrid_frame (skew-safe registered
-    # surface); the hybrid itself gained the NULL-user cold-filter fix
+    # -- implementation changed round 6 -------------------------------
+    # sign-LSH hot-bucket cap (relative, oracle-mirrored)
+    "embedding_cosine_pairs",
+    # search-optimal trained-quantizer cell count (√(n·nprobe/qmod))
+    "ann_ivf_trained_topk",
+    # NULL-group-is-hot fix in sessionize_hybrid_frame
     "sessionize_events",
     "sessionize_skew_hybrid",
-    # prefix-filter (AllPairs) rewrite on 60-bit gram hashes
-    "ngram_jaccard_pairs",
-    # as-of tie fix (sf10 sweep finding): purchase side deduped per
-    # (user_id, ts) via max_by(value, event_id), mirrored in oracle
-    "clicks_asof_purchase",
-    # -- no green row in CORRECTNESS_r04.json (r2/r3-era evidence) ----
-    "events_json_extract",
-    "events_props_map",
-    "events_variant_extract",
-    "top3_parts_per_supplier",
-    "revenue_running_total",
-    "events_hourly",
-    "events_sliding_1h30m",
-    "sales_rollup",
-    "daily_revenue_analytics",
-    "events_by_hour_of_day",
-    "priority_price_extremes",
-    "exact_dedup",
-    "multimodal_frames",
-    "user_value_trend",
-    "table_profile",
-    "totalprice_histogram",
-    "revenue_per_day",
-    "top10_units",
-    "tx_per_store",
-    "timeframe",
-    "margin_signature_2months",
-    "margin_signature_60days",
-    "dup_groups",
-    "customers_without_orders",
-    "suppliers_of_promo_parts",
-    "quantity_quartiles",
-    "customer_order_distribution",
-    "orders_status_priority_pivot",
-    "order_measures_unpivot",
-    "orders_with_discounted_lines",
-    "tx_per_store_salted",
-    "blamed_suppliers",
-    "approx_quantiles_check",
-    "purchase_click_context",
-    "source_quality_rollup",
-    "rare_token_profile",
-    "revenue_daily_deltas",
+    # -- no green driver row since r4 (absent from CORRECTNESS_r05) --
+    "simhash_pairs",
+    "dedup_clusters",
+    "csv_ingest_check",
+    "orders_merge_upsert",
+    "multimodal_meta",
+    "decontaminate_split",
+    "repetition_profile",
+    "sample_mixture",
+    "pii_scrub",
+    "pack_sequences",
+    "dedup_savings",
+    "column_stats_orders",
+    "nation_trade_balance",
+    "acctbal_grouping_sets",
+    "small_parts_revenue",
+    "promo_revenue_share",
+    "idle_customers_balance",
+    "ann_topk",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "semantic_dedup",
+    "ivf_cell_purity",
+    "approx_distinct_check",
+    "token_counts",
+    "doc_quality",
+    "lang_id",
+    "doc_fingerprint",
+    "bpe_token_counts",
+    "doc_sentences",
+    "stable_split",
+    "tfidf_top_terms",
+    "clean_corpus",
+    "contract_violations",
+    "invalid_rows",
+    "invalid_values",
+    "placeholder_discovery",
+    "value_format_profile_events",
+    "events_session_window",
 )
 
 
