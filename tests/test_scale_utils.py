@@ -91,6 +91,33 @@ def test_ivf_stride_scales_as_sqrt_n(spark):
     assert _stride_centroids(tiny).count() == len(range(0, 500, 23))
 
 
+def test_trained_ivf_cells_at_search_balance_point(spark):
+    """The TRAINED quantizer sizes cells at c* = sqrt(n*N_PROBE/
+    QUERY_MOD) ~ sqrt(n)/4, not sqrt(n): training pays the n*c
+    assignment three times (2 k-median rounds + final), so the cell
+    count balances assignment against probe cost for the registered
+    query fraction. Pin the arithmetic on both regimes."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.operators.similarity import (
+        N_PROBE,
+        QUERY_MOD,
+        _trained_stride_centroids,
+    )
+
+    for n in (500, 40_000):
+        e = spark.range(n).select(
+            F.col("id").alias("vec_id"),
+            F.array(F.lit(1.0)).alias("v"),
+            F.lit(1.0).alias("nrm"),
+        )
+        c_star = max(1, math.ceil(math.sqrt(n * N_PROBE / QUERY_MOD)))
+        stride = max(1, n // c_star)
+        assert _trained_stride_centroids(e).count() == len(range(0, n, stride))
+
+
 def test_persist_ledger_drains_exactly_tracked_frames(spark):
     """track_persist caches; drain_cache_ledger unpersists exactly the
     tracked frames (the bounded-cache contract that replaced blanket
