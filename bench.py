@@ -121,6 +121,13 @@ def main() -> None:
         spark.range(0, n_slots, 1, n_slots).mapInPandas(
             lambda it: (pdf for pdf in it), schema="id long"
         ).collect()
+        # SPARK_GRAFT_BENCH_SINK=noop switches materialization from the
+        # driver-faithful collect() to the JVM-side noop batch sink for
+        # big-SF probes (collect caps at driver.maxResultSize and bills
+        # driver row serialization to the probed operator).
+        sink = os.environ.get("SPARK_GRAFT_BENCH_SINK", "collect")
+        if sink not in ("collect", "noop"):
+            raise SystemExit(f"SPARK_GRAFT_BENCH_SINK must be collect|noop, got {sink!r}")
         # SPARK_GRAFT_BENCH_ONLY=q1,q2 restricts to a subset — used for
         # focused scaling probes at big SFs where the full suite (and
         # especially its quadratic-by-design entries) isn't the point.
@@ -141,7 +148,17 @@ def main() -> None:
             registry.drain_cache_ledger()
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
-            n = len(df.collect())
+            if sink == "noop":
+                # big-SF probe mode: JVM-side materialization through the
+                # noop batch sink. collect() is driver-faithful at sf0.1
+                # (the external harness collects), but at sf100 a single
+                # query's output (95M sessionize rows) exceeds
+                # driver.maxResultSize and bills GB-scale row
+                # serialization to the operator being probed.
+                df.write.format("noop").mode("overwrite").save()
+                n = 0
+            else:
+                n = len(df.collect())
             dt = round(time.perf_counter() - t0, 4)
             timings[name] = min(timings.get(name, dt), dt)
             assert n >= 0
@@ -158,7 +175,7 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(
             {"metric": "suite_total_sec", "value": total, "unit": "sec",
-             "queries": timings, "sf": sf_val},
+             "queries": timings, "sf": sf_val, "sink": sink},
             fh,
             indent=2,
         )
@@ -172,6 +189,7 @@ def main() -> None:
             "n_queries": len(timings),
             "full_timings": "BENCH_FULL.json",
             "sf": sf_val,
+            "sink": sink,
         }
     )
     assert len(line) < 1900, f"bench line too long ({len(line)} bytes)"
