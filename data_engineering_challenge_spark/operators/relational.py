@@ -141,7 +141,14 @@ def _promo_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    return l.join(F.broadcast(p), l.l_partkey == p.p_partkey, "inner")
+    # No broadcast HINT: part scales with SF, and a hint overrides
+    # Spark's 8 GiB broadcast ceiling check unsafely (the sf100 probe
+    # failed exactly here at 13.7 GiB). Catalyst/AQE still broadcasts
+    # whenever the filtered dim is actually small — the plan test
+    # asserts BroadcastHashJoin at test SF without the hint. Hints are
+    # reserved for cardinality-BOUNDED frames (region/nation, 1-row
+    # bounds, centroid/threshold tables).
+    return l.join(p, l.l_partkey == p.p_partkey, "inner")
 
 
 @register(
@@ -405,7 +412,7 @@ def shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)  # customer scales with SF: no hint (AQE decides)
         .groupBy("l_orderkey", F.col("o_orderdate").cast("date").alias("order_date"))
         .agg(F.sum(rev).cast("double").alias("revenue"))
         .select("l_orderkey", "revenue", "order_date")
@@ -459,9 +466,12 @@ def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(cust_in_region), o.o_custkey == F.col("c_custkey"))
+        # customer/supplier scale with SF — no broadcast hints (the
+        # bounded nation x region frame above keeps its hint); AQE
+        # broadcasts them whenever they are genuinely small
+        .join(cust_in_region, o.o_custkey == F.col("c_custkey"))
         .join(
-            F.broadcast(s),
+            s,
             (l.l_suppkey == s.s_suppkey) & (s.s_nationkey == F.col("c_nationkey")),
         )
         .groupBy("n_name")
@@ -518,7 +528,7 @@ def suppliers_of_promo_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
-    promo_supp = l.join(F.broadcast(p), l.l_partkey == p.p_partkey).select("l_suppkey")
+    promo_supp = l.join(p, l.l_partkey == p.p_partkey).select("l_suppkey")  # part scales with SF: no hint
     return (
         s.join(promo_supp, s.s_suppkey == F.col("l_suppkey"), "left_semi")
         .select("s_suppkey", "s_name")

@@ -335,7 +335,7 @@ def promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = F.sum(rev)
     return (
-        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        l.join(p, l.l_partkey == p.p_partkey)  # part scales with SF: no hint
         .agg(
             promo.cast("double").alias("promo_revenue"),
             total.cast("double").alias("total_revenue"),

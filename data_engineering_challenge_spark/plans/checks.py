@@ -32,6 +32,27 @@ def physical_plan(df: DataFrame, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+def executed_adaptive_plan(df: DataFrame) -> str:
+    """The FINAL adaptive physical plan: executes the frame, then
+    renders the plan after AQE's runtime re-optimization
+    (isFinalPlan=true). Needed to assert join strategies that the
+    static planner legitimately defers — e.g. a dim behind a join whose
+    output stats are unknown statically stays SortMergeJoin in
+    explain() but converts to broadcast at runtime once the built
+    side's actual bytes are known. Note the rendered string still
+    embeds pre-conversion subtree text; assert on LIVE operators (the
+    codegen-starred ``*(n)`` lines) via :func:`live_operator_count`."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def live_operator_count(plan: str, op: str) -> int:
+    """Occurrences of `op` as a LIVE (whole-stage-codegen'd) operator
+    in an executed adaptive plan — ``*(n) Op`` lines only, ignoring the
+    stale initial-plan subtree text AQE embeds for replaced stages."""
+    return len(re.findall(rf"\*\(\d+\) {op}\b", plan))
+
+
 def count_exchanges(plan: str) -> int:
     """Shuffle exchanges in a formatted plan (BroadcastExchange
     excluded — broadcasts move a dim once, not the fact table)."""

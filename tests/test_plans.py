@@ -99,12 +99,24 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
 
 
 def test_star_join_broadcasts_all_dims(spark, sf_dir):
-    """TPC-H Q5 shape: every dim joins as BroadcastHashJoin; the fact
-    spine shuffles once (lineitem-orders) plus the final agg — never a
-    sort-merge join of fact against a dim."""
+    """TPC-H Q5 shape: at test SF every join (all dims AND the fact
+    spine) ends up BroadcastHashJoin in the FINAL adaptive plan — no
+    live SortMergeJoin. Round 6 removed the explicit broadcast HINTS
+    from SF-scaled dims (customer/supplier — a hint bypasses Spark's
+    8 GiB broadcast ceiling and the sf100 probe died on exactly that),
+    so the broadcast decision is AQE's from actual runtime sizes; this
+    asserts AQE actually makes it when the dims are genuinely small."""
+    from data_engineering_challenge_spark.plans import (
+        executed_adaptive_plan,
+        live_operator_count,
+    )
+
+    q = registry.all_queries()["local_supplier_volume"].fn(spark, sf_dir)
+    final = executed_adaptive_plan(q)
+    assert "isFinalPlan=true" in final
+    assert live_operator_count(final, "BroadcastHashJoin") >= 4
+    assert live_operator_count(final, "SortMergeJoin") == 0
     plan = _plan(spark, sf_dir, "local_supplier_volume")
-    assert plan.count("BroadcastHashJoin") >= 3
-    assert "SortMergeJoin" not in plan or count_exchanges(plan) <= 3
     (scan,) = scans_of(plan, "region")
     assert "EqualTo(r_name,ASIA)" in scan.get("PushedFilters", "")
     # orders date-range predicate reaches the parquet scan
