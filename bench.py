@@ -146,6 +146,7 @@ def main() -> None:
             # from earlier queries (tracked in the registry's persist
             # ledger) would otherwise cause LRU eviction churn
             registry.drain_cache_ledger()
+            print(f"[bench] rep {rep} {name} ...", file=sys.stderr, flush=True)
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             if sink == "noop":
@@ -160,6 +161,7 @@ def main() -> None:
             else:
                 n = len(df.collect())
             dt = round(time.perf_counter() - t0, 4)
+            print(f"[bench] rep {rep} {name} {dt}s", file=sys.stderr, flush=True)
             timings[name] = min(timings.get(name, dt), dt)
             assert n >= 0
     if not only or "csv_ingest_bench" in only:

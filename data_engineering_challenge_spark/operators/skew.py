@@ -34,7 +34,20 @@ def salted_join(
     salt = F.pmod(F.hash(*[F.col(c) for c in fact.columns]), F.lit(n_salt))
     f = fact.withColumn("__salt", salt)
     d = dim.withColumn("__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)])))
-    out = f.join(d, (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"]), how)
+    # shuffle_hash hint: the planner must NEVER broadcast the replicated
+    # dim. Catalyst's size estimate ignores the explode's n_salt×
+    # inflation, so at big SF it happily plans a broadcast that hits
+    # Spark's hard 8 GiB HashedRelation ceiling (sf100 probe: customer
+    # ×8 = 13.7 GiB → SparkException). A broadcast join would also make
+    # the salt pointless — broadcast has no reducer skew to spread; the
+    # operator's whole design is a shuffle join on (key, salt) with the
+    # hot key fanned over n_salt reducers. Shuffle-hash (not sort-merge)
+    # because each (key, salt) dim partition is small enough to hash.
+    out = f.join(
+        d.hint("shuffle_hash"),
+        (f[fact_key] == d[dim_key]) & (f["__salt"] == d["__salt"]),
+        how,
+    )
     return out.drop("__salt")
 
 

@@ -1,6 +1,6 @@
 """Local mirror of the driver's DuckDB-oracle correctness gate.
 
-    PYTHONPATH=/root/repo python tools/check_oracle.py [--lenient] [sf_dir] [query ...]
+    PYTHONPATH=/root/repo python tools/check_oracle.py [--lenient] [--skip q1,q2] [sf_dir] [query ...]
 
 Strict (driver-faithful) by default: exact float repr, and Decimal /
 HUGEINT outputs are hard failures. ``--lenient`` restores the round-1
@@ -21,8 +21,14 @@ from data_engineering_challenge_spark.session import get_session
 
 
 def main() -> int:
-    args = [a for a in sys.argv[1:] if a != "--lenient"]
-    strict = "--lenient" not in sys.argv[1:]
+    argv = sys.argv[1:]
+    skip: set[str] = set()
+    if "--skip" in argv:
+        i = argv.index("--skip")
+        skip = set(argv[i + 1].split(","))
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if a != "--lenient"]
+    strict = "--lenient" not in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.01"
     only = set(args[1:])
     spark = get_session("check_oracle")
@@ -30,6 +36,9 @@ def main() -> int:
     failures = []
     for name, spec in registry.all_queries().items():
         if only and name not in only:
+            continue
+        if name in skip:
+            print(f"  {name:32s} SKIP (--skip; run separately)")
             continue
         t0 = time.time()
         sdf = spec.fn(spark, sf_dir)
