@@ -90,6 +90,15 @@ def spread_scan(df: DataFrame, spark: SparkSession, key: str) -> DataFrame:
     """
     target = spark.sparkContext.defaultParallelism
     try:
+        # The repartition earns its shuffle twice over: parallelism AND
+        # balance. Probed at sf100 (gen_sf wrote documents as 25 files
+        # skewed 437 KB–56 MB, so scan splits are 100×-uneven in rows):
+        # removing the repartition made compute-dense doc_fingerprint
+        # 2.3× SLOWER (168 → 386 s, stragglers) while saving light
+        # token_counts ~30% (53 → 37 s). Dense per-row ops are what
+        # spread_scan exists for, so balance wins. At cluster scale a
+        # real corpus scan has ≥ cores splits of uniform
+        # maxPartitionBytes and the condition below is false — no-op.
         if df.rdd.getNumPartitions() >= target:
             return df
     except Exception:
