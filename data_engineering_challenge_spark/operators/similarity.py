@@ -322,18 +322,23 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.select("vec_id", F.posexplode(band_arr).alias("band", "bucket")),
         StorageLevel.MEMORY_AND_DISK,  # both sides of the bucket self-join
     )
-    # hot-bucket cap: windowed count shuffles on exactly the join key
-    # (band, bucket) — no extra exchange — and the self-join below never
-    # sees a bucket above the cap. The corpus count is a scalar driver
-    # decision off the already-persisted frame (same pattern as the
-    # sessionize hot-key probe), NOT a data collect.
+    # hot-bucket cap: the (band, bucket) key space is BOUNDED at
+    # LSH_BANDS × 2^PLANES_PER_BAND = 1024 keys, so the size table is a
+    # partial-aggregated groupBy (map-side combine → ≤1024 rows shuffle)
+    # broadcast back as a semi-join — no corpus-width exchange, at any
+    # scale. (A window count would shuffle every bucket row; right for
+    # unbounded key spaces like MinHash's md5 bands, wasteful here.)
+    # The corpus count is a scalar driver decision off the
+    # already-persisted frame (same pattern as the sessionize hot-key
+    # probe), NOT a data collect.
     cap = _cosine_bucket_cap(e.count())
-    bucket_w = W.partitionBy("band", "bucket")
-    buckets = (
-        buckets.withColumn("bsz", F.count(F.lit(1)).over(bucket_w))
+    ok_buckets = (
+        buckets.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
         .filter(F.col("bsz") <= cap)
-        .drop("bsz")
+        .select("band", "bucket")
     )
+    buckets = buckets.join(F.broadcast(ok_buckets), ["band", "bucket"], "left_semi")
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
