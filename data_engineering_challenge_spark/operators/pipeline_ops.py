@@ -29,7 +29,7 @@ from pyspark.sql import functions as F
 from ..catalog import load_table, spread_scan
 from ..functions.text import NORM_SQL as _NORM_SQL
 from ..functions.text import normalize_text, tokens, word_ngrams
-from ..registry import register, track_persist
+from ..registry import register
 
 # ---------------------------------------------------------------------------
 # shared deterministic hashing helpers (engine-identical by construction)
@@ -110,46 +110,49 @@ def _gram_sql(n: int) -> str:
     doc="Train/test contamination audit: test docs sharing any "
     f"{DECON_NGRAM}-gram with a train doc under the stable 8/1/1 split. "
     "THE pre-release gate for a training corpus — leaked eval documents "
-    "surface here. Grams are deduped per doc, joined on 64-bit md5 "
-    "prefixes (constant shuffle width), and grams above a train-df cap "
+    "surface here. Grams are deduped per doc, joined on 60-bit md5 "
+    "prefixes (8-byte shuffle key), and grams above a train-df cap "
     "are excluded as boilerplate on both sides, bounding bucket skew.",
     tags=("text", "dedup", "sampling", "extension"),
 )
 def decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.storagelevel import StorageLevel
+    def grams_side(keep_split: str, id_alias: str) -> DataFrame:
+        # Each side re-runs the tokenize → 8-gram → hash chain over its
+        # own scan. Measured at sf10 (20.5M postings): recomputing the
+        # chain twice beats persisting it once — MEMORY_AND_DISK
+        # materialization alone cost 26 s (serializing the postings into
+        # the block store) vs ~10 s per recompute, and the persisted plan
+        # totaled 37 s warm against 21-22 s for this one. At cluster
+        # scale the trade tilts further: a cached 100-TB postings frame
+        # spills to executor disk, while the recompute is an
+        # embarrassingly parallel scan. gh is the md5 60-bit prefix as
+        # BIGINT — same truncated-digest family as the oracle's 64-bit
+        # hex prefix (collision-indistinguishable at these cardinalities,
+        # and gh is internal to the join), at 8 shuffle bytes instead of
+        # a 20-byte string.
+        d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+            load_table(spark, sf_dir, "documents"), spark, "doc_id"
+        )
+        tok = tokens(F.col("text"))
+        return (
+            d.select("doc_id", _split_col().alias("split"), tok.alias("toks"))
+            .filter((F.col("split") == keep_split) & (F.size("toks") >= DECON_NGRAM))
+            .select(
+                F.col("doc_id").alias(id_alias),
+                F.explode(
+                    F.array_distinct(word_ngrams(F.col("toks"), DECON_NGRAM))
+                ).alias("gram"),
+            )
+            .select(
+                id_alias,
+                F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("gh"),
+            )
+        )
 
-    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
-        load_table(spark, sf_dir, "documents"), spark, "doc_id"
-    )
-    tok = tokens(F.col("text"))
-    # materialize the hashed gram list ONCE — the train and test sides
-    # below would otherwise each re-run the tokenize → 8-gram → md5
-    # chain (the dominant cost; at cluster scale this frame is a
-    # parquet signature stage, MEMORY_AND_DISK is the local analog)
-    grams = (
-        d.select("doc_id", _split_col().alias("split"), tok.alias("toks"))
-        .filter(F.size("toks") >= DECON_NGRAM)
-        .select(
-            "doc_id",
-            "split",
-            F.explode(F.array_distinct(word_ngrams(F.col("toks"), DECON_NGRAM))).alias(
-                "gram"
-            ),
-        )
-        .select(
-            "doc_id",
-            "split",
-            F.substring(F.md5(F.col("gram").cast("binary")), 1, 16).alias("gh"),
-        )
-        .filter(F.col("split") != "val")
-    )
-    grams = track_persist(grams, StorageLevel.MEMORY_AND_DISK)
-    train = grams.filter(F.col("split") == "train").select(
-        F.col("doc_id").alias("train_doc"), "gh"
-    )
-    test = grams.filter(F.col("split") == "test").select(
-        F.col("doc_id").alias("test_doc"), "gh"
-    )
+    train = grams_side("train", "train_doc")
+    test = grams_side("test", "test_doc")
     # boilerplate cap: the window count partitions by gh — exactly the
     # join key below — so Catalyst reuses the one exchange for both the
     # cap and the test⋈train join (verified: a single train-side
