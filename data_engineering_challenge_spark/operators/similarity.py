@@ -766,3 +766,51 @@ def ivf_cell_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding QA: norm / dimensionality audit
+
+UNIT_NORM_TOL = 1e-3  # |norm - 1| band counted as "unit-normalized"
+
+
+@register(
+    "embedding_norm_audit",
+    oracle=f"""
+        WITH n AS ({_CORPUS_SQL})
+        SELECT COUNT(*) AS n_vectors,
+               COUNT(DISTINCT len(v)) AS n_dims_distinct,
+               CAST(MIN(len(v)) AS BIGINT) AS dim_min,
+               CAST(MAX(len(v)) AS BIGINT) AS dim_max,
+               MIN(nrm) AS min_norm,
+               MAX(nrm) AS max_norm,
+               CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+               CAST(SUM(CASE WHEN abs(nrm - 1) <= {UNIT_NORM_TOL} THEN 1 ELSE 0 END) AS BIGINT) AS n_unit
+        FROM n
+    """,
+    doc="Embedding-table quality gate: vector count, dimensionality "
+    "consistency, and the norm envelope (zero vectors break cosine "
+    "math; mixed dims break every ANN path; a non-unit norm envelope "
+    "means the encoder output was not normalized). Every statistic is "
+    "order-independent (counts, min/max over bit-identical norm "
+    "doubles) so the distributed partial aggregation matches the "
+    "oracle exactly — deliberately no mean/stddev, whose "
+    "float-summation order differs across engines. Scale: one narrow "
+    "map-side-combining aggregation pass, no shuffle beyond the "
+    "single-row final combine.",
+    tags=("similarity", "profiling", "extension"),
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_with_norm(spark, sf_dir)
+    return e.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.countDistinct(F.size("v")).alias("n_dims_distinct"),
+        F.min(F.size("v")).cast("bigint").alias("dim_min"),
+        F.max(F.size("v")).cast("bigint").alias("dim_max"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+        F.sum(F.when(F.col("nrm") == 0, 1).otherwise(0)).cast("bigint").alias("n_zero"),
+        F.sum(F.when(F.abs(F.col("nrm") - 1) <= UNIT_NORM_TOL, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unit"),
+    )

@@ -614,3 +614,77 @@ def rare_token_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# 11. vocabulary builder (tokenizer-training prep)
+
+VOCAB_TOP_K = 1000  # report cap; the full frequency table feeds a trainer
+
+
+@register(
+    "build_vocab",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest({_TOK_SQL}) AS token FROM documents
+        ),
+        freq AS (
+            SELECT token,
+                   COUNT(*) AS tf,
+                   COUNT(DISTINCT doc_id) AS df
+            FROM tok WHERE token <> '' GROUP BY token
+        ),
+        total AS (SELECT CAST(SUM(tf) AS BIGINT) AS total_tf FROM freq)
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank,
+               token, tf, df,
+               CAST(SUM(tf) OVER (ORDER BY tf DESC, token
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / total_tf AS coverage
+        FROM freq, total
+        ORDER BY rank
+        LIMIT {VOCAB_TOP_K}
+    """,
+    doc="Corpus vocabulary table for tokenizer training: per-token "
+    "term frequency, document frequency, and running coverage (the "
+    "cumulative fraction of all token occurrences captured by the "
+    "vocabulary up to this rank) — the curve that answers 'how big "
+    "must the vocab be for X% coverage'. Scale: the explode "
+    "partial-aggregates on the token key, so the shuffle is "
+    "vocabulary-sized, not corpus-sized; the ranking window then runs "
+    "over the vocabulary table only (coverage is exact-integer cumsum "
+    "divided once at the end — order-independent, engine-exact).",
+    tags=("text", "profiling", "extension"),
+)
+def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    # staged projections: normalize once, tokenize once (see token_counts)
+    tok = d.select("doc_id", normalize_text(F.col("text")).alias("nrm")).select(
+        "doc_id", F.explode(F.split("nrm", " ")).alias("token")
+    )
+    freq = (
+        tok.filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("tf"),
+            F.countDistinct("doc_id").alias("df"),
+        )
+    )
+    total = freq.agg(F.sum("tf").cast("bigint").alias("total_tf"))
+    # the window runs on the vocabulary table (≪ corpus); a single
+    # unpartitioned sort of ~30k rows is driver-trivial and stays so at
+    # 100 TB because vocabulary growth is sublinear in corpus size
+    w = Window.orderBy(F.desc("tf"), F.asc("token"))
+    return (
+        freq.crossJoin(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn(
+            "coverage",
+            F.sum("tf").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
+            / F.col("total_tf"),
+        )
+        .filter(F.col("rank") <= VOCAB_TOP_K)
+        .select("rank", "token", "tf", "df", "coverage")
+        .orderBy("rank")
+    )

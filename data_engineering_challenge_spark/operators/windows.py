@@ -721,3 +721,90 @@ def revenue_daily_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(wr).cast("bigint").alias("revenue_quartile"),
         F.percent_rank().over(wr).alias("revenue_pct_rank"),
     ).orderBy("order_date")
+
+
+# ---------------------------------------------------------------------------
+# session-gap calibration profile
+
+# bucket upper edges in seconds; the 1800 s edge is SESSION_GAP_US — the
+# profile shows how much probability mass sits on each side of the
+# session cut, which is how the threshold gets (re)calibrated
+_GAP_EDGES = ((1, "0_lt_1s"), (60, "1_1s_1m"), (300, "2_1m_5m"),
+              (1800, "3_5m_30m"), (7200, "4_30m_2h"))
+_GAP_LAST = "5_ge_2h"
+
+
+def _gap_bucket_expr(gap_us):
+    edge_s, name = _GAP_EDGES[0]
+    expr = F.when(gap_us < edge_s * 1_000_000, name)
+    for edge_s, name in _GAP_EDGES[1:]:
+        expr = expr.when(gap_us < edge_s * 1_000_000, name)
+    return expr.otherwise(_GAP_LAST)
+
+
+@register(
+    "session_gap_profile",
+    oracle="""
+        WITH gaps AS (
+            SELECT user_id,
+                   date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        bucketed AS (
+            SELECT user_id,
+                   CASE WHEN gap_us < 1000000 THEN '0_lt_1s'
+                        WHEN gap_us < 60000000 THEN '1_1s_1m'
+                        WHEN gap_us < 300000000 THEN '2_1m_5m'
+                        WHEN gap_us < 1800000000 THEN '3_5m_30m'
+                        WHEN gap_us < 7200000000 THEN '4_30m_2h'
+                        ELSE '5_ge_2h' END AS gap_bucket
+            FROM gaps WHERE gap_us IS NOT NULL
+        ),
+        counted AS (
+            SELECT gap_bucket, COUNT(*) AS n_gaps,
+                   COUNT(DISTINCT user_id) AS n_users
+            FROM bucketed GROUP BY gap_bucket
+        )
+        SELECT gap_bucket, n_gaps, n_users,
+               CAST(n_gaps AS DOUBLE)
+                   / (SELECT CAST(SUM(n_gaps) AS BIGINT) FROM counted) AS share
+        FROM counted
+        ORDER BY gap_bucket
+    """,
+    doc="Inter-event gap histogram per user — the calibration evidence "
+    "behind the 30-min session threshold (SESSION_GAP_US): the share "
+    "of gaps on each side of the cut tells you whether moving it "
+    "merges or splits real sessions. Buckets are exact-integer "
+    "microsecond comparisons and counts (engine-exact; the one double "
+    "division happens once per 6-row output). Scale: same one-shuffle "
+    "lag plan as sessionization — for Zipf-hot keys route through the "
+    "skew kit first (sessionize_hybrid_frame's hot-key split applies "
+    "unchanged; gaps need only pairwise adjacency, not a cumsum).",
+    tags=("window", "profiling", "extension"),
+)
+def session_gap_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.expr("timestampdiff(MICROSECOND, prev_ts, ts)")
+    gaps = (
+        e.withColumn("prev_ts", F.lag("ts").over(w))
+        .withColumn("gap_us", gap_us)
+        .filter(F.col("gap_us").isNotNull())
+        .withColumn("gap_bucket", _gap_bucket_expr(F.col("gap_us")))
+    )
+    counted = gaps.groupBy("gap_bucket").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+    total = counted.agg(F.sum("n_gaps").cast("bigint").alias("total_gaps"))
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .select(
+            "gap_bucket",
+            "n_gaps",
+            "n_users",
+            (F.col("n_gaps").cast("double") / F.col("total_gaps")).alias("share"),
+        )
+        .orderBy("gap_bucket")
+    )

@@ -64,6 +64,10 @@ def register(
 # cohort sits past the prefix on fresh evidence, re-covered by the
 # full strict sweeps at sf0.01/sf1/sf10).
 _DRIVER_PRIORITY: tuple[str, ...] = (
+    # -- new in round 6 (no driver row ever) --------------------------
+    "build_vocab",
+    "embedding_norm_audit",
+    "session_gap_profile",
     # -- implementation changed round 6 -------------------------------
     # sign-LSH hot-bucket cap (relative, oracle-mirrored)
     "embedding_cosine_pairs",

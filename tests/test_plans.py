@@ -209,6 +209,8 @@ _BNLJ_BY_DESIGN = {
     "idle_customers_balance",    # 1-row avg-balance threshold frame
     "tfidf_top_terms",        # 1-row corpus-size frame
     "totalprice_histogram",   # 1-row min/max bounds frame
+    "build_vocab",            # 1-row total-token-count frame
+    "session_gap_profile",    # 1-row total-gap-count frame
 }
 
 
