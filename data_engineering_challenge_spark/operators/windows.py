@@ -726,19 +726,28 @@ def revenue_daily_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # session-gap calibration profile
 
-# bucket upper edges in seconds; the 1800 s edge is SESSION_GAP_US — the
-# profile shows how much probability mass sits on each side of the
-# session cut, which is how the threshold gets (re)calibrated
-_GAP_EDGES = ((1, "0_lt_1s"), (60, "1_1s_1m"), (300, "2_1m_5m"),
-              (1800, "3_5m_30m"), (7200, "4_30m_2h"))
-_GAP_LAST = "5_ge_2h"
+# bucket upper edges in microseconds. Edges are upper-EXCLUSIVE except
+# the 1800 s edge, which is upper-INCLUSIVE so it aligns exactly with
+# the session rule: sessionization breaks on gap > SESSION_GAP_US, so a
+# gap of precisely 30:00.000000 stays in-session and must land in the
+# in-session bucket. The profile shows how much probability mass sits
+# on each side of that cut, which is how the threshold gets
+# (re)calibrated.
+_GAP_EDGES = (
+    (1_000_000, False, "0_lt_1s"),
+    (60_000_000, False, "1_1s_1m"),
+    (300_000_000, False, "2_1m_5m"),
+    (SESSION_GAP_US, True, "3_5m_30m"),
+    (7_200_000_000, True, "4_30m_2h"),
+)
+_GAP_LAST = "5_gt_2h"
 
 
 def _gap_bucket_expr(gap_us):
-    edge_s, name = _GAP_EDGES[0]
-    expr = F.when(gap_us < edge_s * 1_000_000, name)
-    for edge_s, name in _GAP_EDGES[1:]:
-        expr = expr.when(gap_us < edge_s * 1_000_000, name)
+    expr = None
+    for edge_us, inclusive, name in _GAP_EDGES:
+        cond = (gap_us <= edge_us) if inclusive else (gap_us < edge_us)
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     return expr.otherwise(_GAP_LAST)
 
 
@@ -756,9 +765,9 @@ def _gap_bucket_expr(gap_us):
                    CASE WHEN gap_us < 1000000 THEN '0_lt_1s'
                         WHEN gap_us < 60000000 THEN '1_1s_1m'
                         WHEN gap_us < 300000000 THEN '2_1m_5m'
-                        WHEN gap_us < 1800000000 THEN '3_5m_30m'
-                        WHEN gap_us < 7200000000 THEN '4_30m_2h'
-                        ELSE '5_ge_2h' END AS gap_bucket
+                        WHEN gap_us <= 1800000000 THEN '3_5m_30m'
+                        WHEN gap_us <= 7200000000 THEN '4_30m_2h'
+                        ELSE '5_gt_2h' END AS gap_bucket
             FROM gaps WHERE gap_us IS NOT NULL
         ),
         counted AS (
