@@ -469,3 +469,94 @@ def dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# 8. fuzzy (near-dup) split decontamination
+
+FUZZY_DECON_EST_JACCARD = 0.5  # same bar as minhash_lsh_pairs
+
+from .dedup import NUM_MINHASH as _NUM_MINHASH  # noqa: E402 — shared sketch params
+from .dedup import _MINHASH_CAND_SQL  # noqa: E402 — shared oracle CTE chain
+
+
+@register(
+    "fuzzy_decontaminate",
+    oracle=f"""
+        WITH {_MINHASH_CAND_SQL},
+        splits AS (
+            SELECT doc_id, {_SPLIT_CASE_SQL} AS split FROM documents
+        ),
+        crossed AS (
+            SELECT c.doc_a, c.doc_b, sa.split AS split_a, sb.split AS split_b
+            FROM cand c
+            JOIN splits sa ON sa.doc_id = c.doc_a
+            JOIN splits sb ON sb.doc_id = c.doc_b
+            WHERE (sa.split = 'train' AND sb.split = 'test')
+               OR (sa.split = 'test' AND sb.split = 'train')
+        )
+        SELECT * FROM (
+            SELECT CASE WHEN split_a = 'test' THEN doc_a ELSE doc_b END AS test_doc,
+                   CASE WHEN split_a = 'test' THEN doc_b ELSE doc_a END AS train_doc,
+                   len(list_filter(range(1, {_NUM_MINHASH} + 1),
+                                   i -> ga.s[i] = gb.s[i])) / {_NUM_MINHASH}.0
+                       AS est_jaccard
+            FROM crossed
+            JOIN sig ga ON ga.doc_id = doc_a
+            JOIN sig gb ON gb.doc_id = doc_b
+        )
+        WHERE est_jaccard >= {FUZZY_DECON_EST_JACCARD}
+        ORDER BY test_doc, train_doc
+    """,
+    doc="Near-duplicate train/test contamination: MinHash-LSH "
+    "candidate pairs (the exact machinery of minhash_lsh_pairs — same "
+    "signatures, banding, hot-bucket cap) restricted to pairs that "
+    "CROSS the 8/1/1 split, at estimated Jaccard >= "
+    f"{FUZZY_DECON_EST_JACCARD}. Complements decontaminate_split: the "
+    "exact 8-gram audit catches verbatim leakage, this catches "
+    "paraphrased/near-dup leakage that shares shingles but no "
+    "contiguous 8-gram. Scale: identical to minhash_lsh_pairs "
+    "(banded shuffle, capped buckets) plus one vocabulary-thin split "
+    "join — the linear-time fuzzy path at any corpus size.",
+    tags=("text", "dedup", "lsh", "sampling", "extension"),
+)
+def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dedup import _lsh_candidates, _minhash_signatures
+
+    sig = _minhash_signatures(spark, sf_dir)
+    cand = _lsh_candidates(sig)
+    d = load_table(spark, sf_dir, "documents")
+    splits = d.select("doc_id", _split_col().alias("split"))
+    crossed = (
+        cand.join(
+            splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            splits.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+        .filter(
+            ((F.col("split_a") == "train") & (F.col("split_b") == "test"))
+            | ((F.col("split_a") == "test") & (F.col("split_b") == "train"))
+        )
+    )
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    eq = F.zip_with("s_a", "s_b", lambda x, y: (x == y).cast("int"))
+    est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(_NUM_MINHASH)
+    return (
+        crossed.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.when(F.col("split_a") == "test", F.col("doc_a"))
+            .otherwise(F.col("doc_b"))
+            .alias("test_doc"),
+            F.when(F.col("split_a") == "test", F.col("doc_b"))
+            .otherwise(F.col("doc_a"))
+            .alias("train_doc"),
+            est.alias("est_jaccard"),
+        )
+        .filter(F.col("est_jaccard") >= FUZZY_DECON_EST_JACCARD)
+        .orderBy("test_doc", "train_doc")
+    )

@@ -65,6 +65,7 @@ def register(
 # full strict sweeps at sf0.01/sf1/sf10).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 6 (no driver row ever) --------------------------
+    "fuzzy_decontaminate",
     "build_vocab",
     "embedding_norm_audit",
     "session_gap_profile",
