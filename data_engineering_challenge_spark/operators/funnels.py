@@ -1,0 +1,140 @@
+"""Product-analytics compositions over `events`: retention cohorts and
+funnel conversion.
+
+North-star extensions beyond the reference surface (the reference's
+analytics stop at per-day revenue and store rollups —
+`/root/reference/src/db/queries/*.sql`): these are the two queries
+every event-warehouse user runs on day one, expressed with the same
+exact-arithmetic oracle discipline as the rest of the registry (date
+truncation, integer week arithmetic, and one double division per
+output row — no float aggregation anywhere).
+
+Scale posture: both queries shuffle on `user_id` only (the natural
+event-table key), pre-aggregate to per-user rows before any join, and
+produce entity-count-sized outputs (cohort×offset grid, one funnel
+row). Catalyst reuses the per-user exchange across the aggregation and
+join stages where the keys line up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..registry import register
+
+FUNNEL_WINDOW_DAYS = 7  # click → purchase attribution window
+
+
+@register(
+    "user_retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week
+            FROM events
+        )
+        SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.active_week) / 7 AS BIGINT)
+                   AS week_offset,
+               COUNT(DISTINCT a.user_id) AS n_active
+        FROM activity a JOIN firsts f USING (user_id)
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+    """,
+    doc="Weekly retention cohorts: users grouped by the week of their "
+    "first event, counted in every subsequent week they were active — "
+    "the canonical retention triangle. Week truncation and the "
+    "day-difference/7 offset are exact integer/date arithmetic on both "
+    "engines (both truncate weeks to Monday). Scale: two per-user "
+    "aggregations over one events scan shape, joined on user_id (the "
+    "exchange is shared), output is the |cohorts| x |weeks| grid.",
+    tags=("window", "relational", "extension"),
+)
+def user_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("active_week")
+    ).distinct()
+    return (
+        activity.join(firsts, "user_id")
+        .groupBy(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "funnel_conversion",
+    oracle=f"""
+        WITH first_click AS (
+            SELECT user_id, MIN(ts) AS click_ts
+            FROM events WHERE event_type = 'click' GROUP BY user_id
+        ),
+        converted AS (
+            SELECT DISTINCT c.user_id
+            FROM first_click c
+            JOIN events p
+              ON p.user_id = c.user_id
+             AND p.event_type = 'purchase'
+             AND p.ts > c.click_ts
+             AND p.ts <= c.click_ts + INTERVAL {FUNNEL_WINDOW_DAYS} DAY
+        )
+        SELECT (SELECT COUNT(*) FROM first_click) AS n_clickers,
+               (SELECT COUNT(*) FROM converted) AS n_converted,
+               CAST((SELECT COUNT(*) FROM converted) AS DOUBLE)
+                   / (SELECT COUNT(*) FROM first_click) AS conversion_rate
+    """,
+    doc=f"Click-to-purchase funnel: users whose FIRST click is followed "
+    f"by a purchase within {FUNNEL_WINDOW_DAYS} days — the attribution "
+    "query behind every conversion dashboard. The interval compare is "
+    "exact timestamp arithmetic; the single rate division runs once "
+    "over two exact counts. Scale: first-click pre-aggregates to one "
+    "row per user before the purchase join (both sides shuffle on "
+    "user_id once), and the purchase side is filtered to one event "
+    "type at the scan (pushed predicate).",
+    tags=("relational", "temporal", "extension"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    first_click = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("click_ts"))
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    converted = (
+        first_click.join(purchases, "user_id")
+        .filter(
+            (F.col("p_ts") > F.col("click_ts"))
+            & (
+                F.col("p_ts")
+                <= F.col("click_ts") + F.expr(f"INTERVAL {FUNNEL_WINDOW_DAYS} DAY")
+            )
+        )
+        .select("user_id")
+        .distinct()
+    )
+    n_clickers = first_click.agg(F.count(F.lit(1)).alias("n_clickers"))
+    n_converted = converted.agg(F.count(F.lit(1)).alias("n_converted"))
+    return n_clickers.crossJoin(n_converted).select(
+        "n_clickers",
+        "n_converted",
+        (F.col("n_converted").cast("double") / F.col("n_clickers")).alias(
+            "conversion_rate"
+        ),
+    )

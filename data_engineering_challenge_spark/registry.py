@@ -66,6 +66,8 @@ def register(
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 6 (no driver row ever) --------------------------
     "fuzzy_decontaminate",
+    "user_retention_cohorts",
+    "funnel_conversion",
     "build_vocab",
     "embedding_norm_audit",
     "session_gap_profile",
@@ -205,6 +207,7 @@ def _load_all() -> None:
         return
     from .operators import (  # noqa: F401
         dedup,
+        funnels,
         graph,
         ingest_check,
         merge,

@@ -211,6 +211,7 @@ _BNLJ_BY_DESIGN = {
     "totalprice_histogram",   # 1-row min/max bounds frame
     "build_vocab",            # 1-row total-token-count frame
     "session_gap_profile",    # 1-row total-gap-count frame
+    "funnel_conversion",      # 1-row x 1-row count frames
 }
 
 
