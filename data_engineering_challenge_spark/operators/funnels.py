@@ -134,7 +134,10 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return n_clickers.crossJoin(n_converted).select(
         "n_clickers",
         "n_converted",
-        (F.col("n_converted").cast("double") / F.col("n_clickers")).alias(
+        # try_divide: zero clickers (empty funnel) -> NULL rate instead of
+        # an ANSI DIVIDE_BY_ZERO; on real data n_clickers > 0 and the
+        # result is bit-identical to plain division.
+        F.try_divide(F.col("n_converted").cast("double"), F.col("n_clickers")).alias(
             "conversion_rate"
         ),
     )

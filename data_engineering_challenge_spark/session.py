@@ -89,6 +89,13 @@ def get_session(
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(sp))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # Only the local correctness harness collects full results; the
+        # default 1g ceiling aborts big-SF sweeps of pair-producing
+        # operators (a cluster deployment would write to a sink instead).
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "1g"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.pythonUDF.arrow.enabled", "true")
     )
