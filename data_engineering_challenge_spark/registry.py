@@ -65,6 +65,15 @@ def register(
 # full strict sweeps at sf0.01/sf1/sf10).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 6 (no driver row ever) --------------------------
+    "forecast_revenue_change",
+    "volume_shipping",
+    "nation_market_share",
+    "product_type_profit",
+    "returned_item_customers",
+    "late_shipment_priority",
+    "top_supplier_by_revenue",
+    "large_volume_customers",
+    "brand_size_disjunction_revenue",
     "fuzzy_decontaminate",
     "user_retention_cohorts",
     "funnel_conversion",
@@ -220,6 +229,7 @@ def _load_all() -> None:
         sketches,
         temporal,
         text_analysis,
+        tpch_more,
         validation,
         windows,
     )

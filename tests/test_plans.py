@@ -296,3 +296,51 @@ def test_doc_sentences_is_jvm_side_and_udtf_twin_matches(spark, sf_dir):
     jvm = registry.all_queries()["doc_sentences"].fn(spark, sf_dir)
     py = doc_sentences_udtf(spark, sf_dir)
     assert [tuple(r) for r in jvm.collect()] == [tuple(r) for r in py.collect()]
+
+
+def test_q6_scan_pushes_all_predicates_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "forecast_revenue_change")
+    assert "Join" not in plan  # single-table scan-aggregate
+    (scan,) = scans_of(plan, "lineitem")
+    pushed = scan.get("PushedFilters", "")
+    assert "LessThan(l_quantity,24" in pushed
+    assert "GreaterThanOrEqual(l_discount,0.045)" in pushed
+    assert read_columns(scan) == {
+        "l_shipdate",
+        "l_discount",
+        "l_quantity",
+        "l_extendedprice",
+    }
+
+
+def test_q10_is_distributed_top20_with_pruned_fact(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "returned_item_customers")
+    assert "TakeOrderedAndProject" in plan  # no global sort for LIMIT 20
+    (scan,) = scans_of(plan, "lineitem")
+    assert "EqualTo(l_returnflag,R)" in scan.get("PushedFilters", "")
+    assert read_columns(scan) == {
+        "l_orderkey",
+        "l_extendedprice",
+        "l_discount",
+        "l_returnflag",
+    }
+
+
+def test_q19_part_disjunction_pushes_to_part_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "brand_size_disjunction_revenue")
+    (scan,) = scans_of(plan, "part.parquet")
+    # the brand/size OR is a part-only predicate -> pushed to the scan
+    assert "Or(" in scan.get("PushedFilters", "")
+    (fact,) = scans_of(plan, "lineitem")
+    # quantity bounds common to all arms reach the fact scan
+    assert "l_quantity" in fact.get("PushedFilters", "")
+
+
+def test_q18_having_runs_before_customer_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "large_volume_customers")
+    # the per-order aggregate + HAVING appears below (after in text) the
+    # customer join: lineitem scan reads only the two agg columns, and
+    # the filter on the aggregated qty exists in the plan
+    (scan,) = scans_of(plan, "lineitem")
+    assert read_columns(scan) == {"l_orderkey", "l_quantity"}
+    assert "TakeOrderedAndProject" in plan
