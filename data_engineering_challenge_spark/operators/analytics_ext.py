@@ -1,0 +1,278 @@
+"""Warehouse/pipeline analytics beyond the reference surface:
+market-basket pair mining, rolling active users, anomaly detection
+over daily aggregates, and BPE-style bigram merge candidates.
+
+The reference's analytics stop at per-day revenue and store rollups
+(`/root/reference/src/db/queries/*.sql`); these four are the next
+queries a production event/retail warehouse and an LLM-tokenizer
+pipeline run, expressed with the registry's exact-arithmetic oracle
+discipline.
+
+Scale posture (100 TB):
+- `copurchase_pairs` is candidate-quadratic PER BASKET, so the basket
+  cap (MAX_BASKET distinct parts per order, mirrored in the oracle) is
+  the skew escape hatch — the same discipline as the MinHash/cosine
+  hot-bucket caps (dedup.py:44). With the cap, pair expansion is
+  bounded by |orders| x C(cap,2); the self-join runs on the orderkey
+  partitioning already produced by the cap's aggregation, so Catalyst
+  reuses one exchange.
+- `rolling_active_users` NEVER range-joins: each (day, user) row
+  explodes into the 7 day-buckets it contributes to (a constant-factor
+  map-side expansion), then one equi-shuffle counts distinct users per
+  bucket. A range join would be |days| x |du| candidate pairs; this is
+  7 x |du| rows, linear at any scale.
+- `daily_value_anomalies` windows over the DAYS table (calendar-sized,
+  ~2.4k rows here, bounded forever), never over raw events; the event
+  scan reduces to per-day exact decimal sums first. Mean/variance come
+  from exact decimal window sums cast to double once — identical IEEE
+  expressions on both engines, so the z-scores compare exactly.
+- `bigram_merge_candidates` partial-aggregates the exploded bigrams
+  map-side: the shuffle is bigram-vocabulary-sized, not corpus-sized
+  (same argument as build_vocab, text_analysis.py:626).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table
+from ..functions.text import tokens, word_ngrams
+from ..operators.pipeline_ops import _gram_sql
+from ..operators.text_analysis import _TOK_SQL
+from ..registry import register
+
+DEC = "decimal(18,2)"
+
+# Baskets with more distinct parts than this are dropped from pair
+# mining (both engines): a degenerate mega-basket contributes
+# C(n,2) pairs of near-zero analytic value but quadratic cost. The
+# synthetic baskets top out at ~13 distinct parts (sf0.01) — the cap
+# is a 100-TB skew guard, not a result shaper (pinned by a unit test
+# with a synthetic hot basket). See SCALING.md "Threshold provenance".
+MAX_BASKET = 100
+
+# Pairs must co-occur in at least this many orders to be reported.
+MIN_SUPPORT = 2
+
+# Trailing window width for the rolling active-user count.
+ROLLING_DAYS = 7
+
+# Anomaly gate: days whose |z| exceeds this are reported.
+ANOMALY_Z = 1.5
+ANOMALY_WINDOW = 7  # trailing days used for the mean/std baseline
+
+BIGRAM_TOP_K = 50
+
+
+@register(
+    "copurchase_pairs",
+    oracle=f"""
+        WITH po AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ),
+        sized AS (
+            SELECT l_orderkey FROM po
+            GROUP BY l_orderkey HAVING COUNT(*) <= {MAX_BASKET}
+        ),
+        pp AS (
+            SELECT po.l_orderkey, po.l_partkey
+            FROM po JOIN sized USING (l_orderkey)
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM pp a
+        JOIN pp b ON a.l_orderkey = b.l_orderkey
+               AND a.l_partkey < b.l_partkey
+        GROUP BY part_a, part_b
+        HAVING COUNT(*) >= {MIN_SUPPORT}
+        ORDER BY n_orders DESC, part_a, part_b
+        LIMIT 100
+    """,
+    doc="Market-basket pair mining: part pairs co-purchased in at "
+    f"least {MIN_SUPPORT} orders, top-100 by support. The basket cap "
+    f"({MAX_BASKET} distinct parts) bounds the per-order pair "
+    "expansion — the skew escape hatch that keeps the self-join "
+    "linear in |orders| at any scale.",
+    tags=("join", "agg", "topk", "extension"),
+)
+def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    po = l.select("l_orderkey", "l_partkey").distinct()
+    # basket-size cap via window count on the orderkey partitioning the
+    # distinct already produced — no extra shuffle for the guard
+    w = Window.partitionBy("l_orderkey")
+    pp = (
+        po.withColumn("basket_size", F.count(F.lit(1)).over(w))
+        .filter(F.col("basket_size") <= MAX_BASKET)
+        .select("l_orderkey", "l_partkey")
+    )
+    a = pp.alias("a")
+    b = pp.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= MIN_SUPPORT)
+        .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
+        .limit(100)
+    )
+
+
+@register(
+    "rolling_active_users",
+    oracle=f"""
+        WITH du AS (
+            SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+        ),
+        days AS (SELECT DISTINCT d FROM du),
+        expanded AS (
+            SELECT du.d + CAST(o.off AS INTEGER) AS day, du.user_id
+            FROM du CROSS JOIN (SELECT unnest(range(0, {ROLLING_DAYS})) AS off) o
+        )
+        SELECT e.day AS day, COUNT(DISTINCT e.user_id) AS active_users_7d
+        FROM expanded e JOIN days ON days.d = e.day
+        GROUP BY e.day
+        ORDER BY e.day
+    """,
+    doc=f"Rolling {ROLLING_DAYS}-day distinct active users per day "
+    "(the WAU curve). Windowed COUNT(DISTINCT) doesn't exist in either "
+    "engine; instead each (day, user) contribution row is exploded "
+    f"into the {ROLLING_DAYS} trailing buckets it belongs to and one "
+    "equi-shuffle counts distinct users per bucket — linear, no range "
+    "join. Buckets are clipped to observed days so the curve has no "
+    "phantom tail.",
+    tags=("window", "agg", "extension"),
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(
+        F.col("ts").cast("date").alias("d"), "user_id"
+    ).distinct()
+    days = du.select("d").distinct().select(F.col("d").alias("day"))
+    expanded = du.select(
+        "d",
+        "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(ROLLING_DAYS - 1))).alias("off"),
+    ).select(F.date_add(F.col("d"), F.col("off")).alias("day"), "user_id")
+    return (
+        expanded.join(days, "day")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").alias("active_users_7d"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "daily_value_anomalies",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   SUM(CAST(value AS DECIMAL(18,2))) AS total
+            FROM events GROUP BY day
+        ),
+        stats AS (
+            SELECT day,
+                   CAST(total AS DOUBLE) AS daily_value,
+                   COUNT(*) OVER w AS cnt,
+                   CAST(SUM(total) OVER w AS DOUBLE) AS s,
+                   CAST(SUM(total * total) OVER w AS DOUBLE) AS ss
+            FROM daily
+            WINDOW w AS (ORDER BY day
+                         ROWS BETWEEN {ANOMALY_WINDOW - 1} PRECEDING
+                                  AND CURRENT ROW)
+        )
+        SELECT day, daily_value,
+               (daily_value - s / cnt)
+                   / sqrt((ss - (s * s) / cnt) / (cnt - 1)) AS z
+        FROM stats
+        WHERE cnt = {ANOMALY_WINDOW}
+          AND (ss - (s * s) / cnt) / (cnt - 1) > 0
+          AND abs((daily_value - s / cnt)
+                  / sqrt((ss - (s * s) / cnt) / (cnt - 1))) > {ANOMALY_Z}
+        ORDER BY day
+    """,
+    doc=f"Daily-total anomaly days: |z| > {ANOMALY_Z} against a "
+    f"trailing {ANOMALY_WINDOW}-day mean/std baseline. The event scan "
+    "reduces to exact per-day decimal sums first; the window runs over "
+    "the calendar-sized days table. Mean and variance are computed "
+    "from exact decimal window sums (total, total²) cast to double "
+    "once, with the IDENTICAL expression tree on both engines — the "
+    "z-scores compare bit-exactly.",
+    tags=("window", "agg", "extension"),
+)
+def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.col("value").cast(DEC)).alias("total")
+    )
+    # calendar-sized frame: a single unpartitioned window over ~2.4k
+    # day rows is bounded forever (same argument as build_vocab's
+    # vocabulary window)
+    w = (
+        Window.orderBy("day")
+        .rowsBetween(-(ANOMALY_WINDOW - 1), Window.currentRow)
+    )
+    cnt = F.count(F.lit(1)).over(w)
+    s = F.sum("total").over(w).cast("double")
+    ss = F.sum(F.col("total") * F.col("total")).over(w).cast("double")
+    x = F.col("total").cast("double")
+    var = (F.col("ss") - (F.col("s") * F.col("s")) / F.col("cnt")) / (
+        F.col("cnt") - 1
+    )
+    z = (F.col("daily_value") - F.col("s") / F.col("cnt")) / F.sqrt(var)
+    return (
+        daily.select(
+            "day",
+            x.alias("daily_value"),
+            cnt.alias("cnt"),
+            s.alias("s"),
+            ss.alias("ss"),
+        )
+        .filter(F.col("cnt") == ANOMALY_WINDOW)
+        .withColumn("z", z)
+        .filter(var > 0)
+        .filter(F.abs(F.col("z")) > ANOMALY_Z)
+        .select("day", "daily_value", "z")
+        .orderBy("day")
+    )
+
+
+@register(
+    "bigram_merge_candidates",
+    oracle=f"""
+        WITH big AS (
+            SELECT unnest({_gram_sql(2)}) AS bigram
+            FROM documents
+            WHERE len({_TOK_SQL}) >= 2
+        )
+        SELECT bigram, COUNT(*) AS freq
+        FROM big
+        GROUP BY bigram
+        ORDER BY freq DESC, bigram
+        LIMIT {BIGRAM_TOP_K}
+    """,
+    doc="The first BPE merge iteration over the corpus: the top "
+    f"{BIGRAM_TOP_K} adjacent-token pairs by frequency — the merge "
+    "candidates a tokenizer trainer would fuse next. The bigram "
+    "explode partial-aggregates map-side (shuffle is bigram-vocab-"
+    "sized); top-k is a distributed TakeOrdered, never a global sort.",
+    tags=("text", "topk", "extension"),
+)
+def bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(tokens(F.col("text")).alias("tok")).filter(F.size("tok") >= 2)
+    return (
+        tok.select(F.explode(word_ngrams(F.col("tok"), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("bigram"))
+        .limit(BIGRAM_TOP_K)
+    )

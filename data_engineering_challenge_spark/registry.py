@@ -65,6 +65,10 @@ def register(
 # full strict sweeps at sf0.01/sf1/sf10).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 6 (no driver row ever) --------------------------
+    "copurchase_pairs",
+    "rolling_active_users",
+    "daily_value_anomalies",
+    "bigram_merge_candidates",
     "forecast_revenue_change",
     "volume_shipping",
     "nation_market_share",
@@ -215,6 +219,7 @@ def _load_all() -> None:
     if _LOADED:
         return
     from .operators import (  # noqa: F401
+        analytics_ext,
         dedup,
         funnels,
         graph,

@@ -36,34 +36,49 @@ def main() -> None:
     ap.add_argument("src_dir")
     ap.add_argument("dst_dir")
     ap.add_argument("--mod", type=int, default=16)
+    ap.add_argument(
+        "--table",
+        default="documents",
+        choices=("documents", "embeddings"),
+        help="which table to subsample (embeddings hashes the vector "
+        "content, so the sample is stable under re-identification "
+        "exactly like the documents mode)",
+    )
     args = ap.parse_args()
 
     os.makedirs(args.dst_dir, exist_ok=True)
-    src_docs = os.path.join(args.src_dir, "documents.parquet")
+    src_docs = os.path.join(args.src_dir, f"{args.table}.parquet")
     pat = (
         f"read_parquet('{src_docs}/**/*.parquet')"
         if os.path.isdir(src_docs)
         else f"read_parquet('{src_docs}')"
     )
-    dst_docs = os.path.join(args.dst_dir, "documents.parquet")
+    dst_docs = os.path.join(args.dst_dir, f"{args.table}.parquet")
+    content = (
+        "text" if args.table == "documents"
+        else "array_to_string(embedding, ',')"
+    )
     con = duckdb.connect()
     con.execute(
         f"""
         COPY (
             SELECT * FROM {pat}
-            WHERE ('0x' || substr(md5(text), 1, 15))::BIGINT % {args.mod} = 0
+            WHERE ('0x' || substr(md5({content}), 1, 15))::BIGINT % {args.mod} = 0
         ) TO '{dst_docs}' (FORMAT PARQUET)
         """
     )
     n = con.sql(f"SELECT count(*) FROM read_parquet('{dst_docs}')").fetchone()[0]
     for t in TABLES:
-        if t == "documents":
+        if t == args.table:
             continue
         src = os.path.join(args.src_dir, f"{t}.parquet")
         dst = os.path.join(args.dst_dir, f"{t}.parquet")
         if os.path.exists(src) and not os.path.exists(dst):
             os.symlink(os.path.abspath(src), dst)
-    print(f"wrote {dst_docs}: {n} docs (1/{args.mod} content-hash sample)")
+    print(
+        f"wrote {dst_docs}: {n} {args.table} rows "
+        f"(1/{args.mod} content-hash sample)"
+    )
 
 
 if __name__ == "__main__":
