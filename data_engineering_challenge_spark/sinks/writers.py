@@ -108,6 +108,42 @@ def write_with_stats(
     return dict(obs.get)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (columnar interop with Hive/Trino warehouses).
+
+    Same layout guidance as parquet: ORC stripes carry min/max stats,
+    so the reader enjoys the identical predicate-pushdown story —
+    useful when the downstream warehouse is ORC-native.
+    """
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (pushdown/pruning come from the native ORC reader)."""
+    return spark.read.orc(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines export — the interchange format of LLM data work
+    (each row one JSON object; map/array columns serialize natively).
+
+    At scale prefer parquet between OUR stages; jsonl is the boundary
+    format for external tokenizer/training consumers.
+    """
+    df.write.mode(mode).json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines scan. Pass an explicit schema at scale: schemaless
+    json triggers a full inference pre-pass over the data (an extra
+    scan) and types drift per-file; with a schema the reader is a
+    single streaming pass."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
 def write_jdbc(
     df: DataFrame,
     url: str,

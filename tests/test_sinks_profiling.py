@@ -160,3 +160,32 @@ def test_write_jdbc_gate_fails_fast_without_driver(spark, sf_dir):
     o = load_table(spark, sf_dir, "orders").limit(5)
     with pytest.raises(NotImplementedError, match="JDBC driver"):
         write_jdbc(o, "jdbc:postgresql://localhost/x", "orders")
+
+
+def test_orc_roundtrip_and_pushdown(spark, sf_dir, tmp_path):
+    from data_engineering_challenge_spark.sinks.writers import read_orc, write_orc
+
+    o = load_table(spark, sf_dir, "orders")
+    out = str(tmp_path / "orders_orc")
+    write_orc(o, out)
+    back = read_orc(spark, out)
+    assert back.count() == o.count()
+    assert back.schema == o.schema
+    # the ORC reader pushes predicates like the parquet one
+    plan = back.filter(F.col("o_orderkey") == 42)._jdf.queryExecution().executedPlan().toString()
+    assert "o_orderkey" in plan
+
+
+def test_jsonl_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    from data_engineering_challenge_spark.sinks.writers import read_jsonl, write_jsonl
+
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "props")
+    out = str(tmp_path / "events_jsonl")
+    write_jsonl(e, out)
+    back = read_jsonl(spark, out, schema=e.schema)
+    assert back.count() == e.count()
+    assert back.schema == e.schema
+    # value-faithful: the jsonl boundary must not mangle a sample row
+    a = {tuple(r) for r in e.orderBy("event_id").limit(5).collect()}
+    b = {tuple(r) for r in back.orderBy("event_id").limit(5).collect()}
+    assert a == b
