@@ -85,6 +85,16 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     import os
 
     con = duckdb.connect()
+    # Big-SF oracle sweeps share the box with a large-heap JVM: without
+    # a limit DuckDB grows to physical RAM and the kernel OOM-kills the
+    # harness (observed at sf100 on the ANN oracles). A bound + spill
+    # dir turns that into disk-backed execution. Both knobs are
+    # overridable for small boxes / bigger sweeps.
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "48GB")
+    con.execute(f"SET memory_limit='{mem}'")
+    tmp = os.environ.get("SPARK_GRAFT_ORACLE_TMP", "/tmp/duckdb_spill")
+    os.makedirs(tmp, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         path = f"{sf_dir}/{t}.parquet"
         src = f"'{path}/*.parquet'" if os.path.isdir(path) else f"'{path}'"
