@@ -190,8 +190,8 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   AND CURRENT ROW)
         )
         SELECT day, daily_value,
-               (daily_value - s / cnt)
-                   / sqrt((ss - (s * s) / cnt) / (cnt - 1)) AS z
+               ROUND((daily_value - s / cnt)
+                   / sqrt((ss - (s * s) / cnt) / (cnt - 1)), 6) AS z
         FROM stats
         WHERE cnt = {ANOMALY_WINDOW}
           AND (ss - (s * s) / cnt) / (cnt - 1) > 0
@@ -204,8 +204,11 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "reduces to exact per-day decimal sums first; the window runs over "
     "the calendar-sized days table. Mean and variance are computed "
     "from exact decimal window sums (total, total²) cast to double "
-    "once, with the IDENTICAL expression tree on both engines — the "
-    "z-scores compare bit-exactly.",
+    "once, with the identical expression tree on both engines. The "
+    "reported z is rounded to 6 dp: the ss sum's unscaled decimal "
+    "exceeds 2^53 at sf10+, so the two engines' decimal→double "
+    "conversions can differ by ~1e-11 — semantically irrelevant for a "
+    "z-score, but fatal to an exact-repr compare.",
     tags=("window", "agg", "extension"),
 )
 def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -237,7 +240,7 @@ def daily_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             ss.alias("ss"),
         )
         .filter(F.col("cnt") == ANOMALY_WINDOW)
-        .withColumn("z", z)
+        .withColumn("z", F.round(z, 6))
         .filter(var > 0)
         .filter(F.abs(F.col("z")) > ANOMALY_Z)
         .select("day", "daily_value", "z")
