@@ -342,10 +342,10 @@ def returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN date_diff('day', CAST(o_orderdate AS DATE),
                                    CAST(l_shipdate AS DATE)) > 30 THEN 'slow'
                     ELSE 'fast' END AS ship_bucket,
-               SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS high_priority_count,
-               SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                        THEN 1 ELSE 0 END) AS low_priority_count
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_priority_count,
+               CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_priority_count
         FROM lineitem
         JOIN orders ON o_orderkey = l_orderkey
         GROUP BY ship_bucket
