@@ -688,3 +688,155 @@ def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("rank", "token", "tf", "df", "coverage")
         .orderBy("rank")
     )
+
+
+# BM25 retrieval (bm25_topk): the term-saturation ranking a training-
+# data pipeline uses for corpus search / hard-negative mining.
+# Constants are the classic Robertson defaults.
+BM25_K1 = 1.5
+BM25_B = 0.75
+# A fixed probe query over the synthetic corpus vocabulary (gen_sf's
+# 31 engine-flavoured words). In production the terms are a parameter;
+# a literal keeps the operator driver-verifiable end to end.
+BM25_QUERY_TERMS = ("vector", "merge", "stream", "hash")
+BM25_TOP_K = 20
+
+_BM25_TERMS_SQL = "(" + ", ".join(f"'{t}'" for t in BM25_QUERY_TERMS) + ")"
+# Per-term score, written with IDENTICAL parenthesization in both
+# engines. idf is the Robertson-Sparck-Jones form WITHOUT the log:
+# (N - df + 0.5) / (df + 0.5). Rationale mirrors tfidf_top_terms'
+# linear idf: ln() goes through libm, whose last-ulp rounding is not
+# contractually identical across engines, while +,-,*,/ on doubles are
+# IEEE-exact — so the whole score is bit-replayable by the oracle. The
+# saturation factor (the part that makes BM25 BM25) is untouched.
+_BM25_SCORE_SQL = (
+    "((CAST(n_docs AS DOUBLE) - doc_freq + 0.5) / (doc_freq + 0.5))"
+    f" * ((tf * ({BM25_K1} + 1.0)) / "
+    f"(tf + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * (dl / avgdl))))"
+)
+
+
+def _bm25_score_col() -> F.Column:
+    n_docs = F.col("n_docs").cast("double")
+    idf = (n_docs - F.col("doc_freq") + F.lit(0.5)) / (F.col("doc_freq") + F.lit(0.5))
+    sat = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1) * (F.lit(1.0) - F.lit(BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
+    )
+    return idf * sat
+
+
+@register(
+    "bm25_topk",
+    oracle=f"""
+        WITH dl AS (
+            -- dl stays BIGINT so SUM(dl) is exact: a double-summed
+            -- average would be accumulation-order-dependent across
+            -- engines; one exact integer sum / count is not
+            SELECT doc_id, CAST(len({_TOK_SQL}) AS BIGINT) AS dl
+            FROM documents
+        ), stats AS (
+            SELECT COUNT(*) AS n_docs,
+                   CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+            FROM dl
+        ), tok AS (
+            SELECT doc_id, unnest({_TOK_SQL}) AS term FROM documents
+        ), tf AS (
+            SELECT doc_id, term, COUNT(*) AS tf FROM tok
+            WHERE term IN {_BM25_TERMS_SQL} GROUP BY 1, 2
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1
+        ), per_term AS (
+            SELECT doc_id, term, {_BM25_SCORE_SQL} AS s
+            FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+            CROSS JOIN stats
+        ), per_doc AS (
+            -- fixed-order summation over the (at most 4) matched terms:
+            -- SUM() accumulation order is engine-dependent, a left-to-
+            -- right chain of named terms is not
+            SELECT doc_id,
+                   {" + ".join(f"COALESCE(MAX(CASE WHEN term = '{t}' THEN s END), 0.0)" for t in BM25_QUERY_TERMS)}
+                       AS bm25_score,
+                   COUNT(*) AS n_matched_terms
+            FROM per_term GROUP BY doc_id
+        )
+        SELECT doc_id, bm25_score, n_matched_terms, rnk FROM (
+            SELECT doc_id, bm25_score, n_matched_terms,
+                   ROW_NUMBER() OVER (ORDER BY bm25_score DESC, doc_id) AS rnk
+            FROM per_doc
+        ) WHERE rnk <= {BM25_TOP_K}
+        ORDER BY rnk
+    """,
+    doc="BM25 top-20 retrieval for a fixed probe query "
+    f"{BM25_QUERY_TERMS} — k1={BM25_K1}, b={BM25_B}, with the "
+    "libm-free rational idf (N - df + 0.5)/(df + 0.5) so every double "
+    "is bit-replayable by the oracle (same rationale as "
+    "tfidf_top_terms' linear idf). Shape: ONE tokenize pass produces "
+    "doc lengths AND the query-term postings (the isin filter pushes "
+    "into the explode, so only matching terms shuffle); df/avgdl are "
+    "tiny broadcast aggregates; per-doc score is a fixed-order sum "
+    "over the <=4 matched terms. At cluster scale the postings filter "
+    "means cost tracks the query terms' document frequency, not corpus "
+    "size x vocabulary.",
+    tags=("text", "retrieval", "extension"),
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
+
+    from ..registry import track_persist
+
+    d = load_table(spark, sf_dir, "documents")
+    # ONE corpus scan: length + query-term matches in a single staged
+    # projection, persisted tiny (doc_id + bigint + a <=4-element
+    # array) — stats, postings, and the score join all read it instead
+    # of re-tokenizing the text column (the naive form planned FOUR
+    # parquet scans of `text`)
+    # dl stays BIGINT: SUM over integers is exact, so avgdl is the
+    # same double in any engine / partitioning (see oracle note)
+    base = track_persist(
+        d.select("doc_id", tokens(F.col("text")).alias("t")).select(
+            "doc_id",
+            F.size("t").cast("bigint").alias("dl"),
+            F.filter("t", lambda x: x.isin(*BM25_QUERY_TERMS)).alias("matched"),
+        ),
+        StorageLevel.MEMORY_AND_DISK,
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    # dl rides the tf aggregate (functionally dependent on doc_id), so
+    # no join back to a lengths table
+    tf = (
+        base.select("doc_id", "dl", F.explode("matched").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"), F.max("dl").alias("dl"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    per_term = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", _bm25_score_col().alias("s"))
+    )
+    term_cols = [
+        F.coalesce(F.max(F.when(F.col("term") == t_, F.col("s"))), F.lit(0.0))
+        for t_ in BM25_QUERY_TERMS
+    ]
+    score = term_cols[0]
+    for c in term_cols[1:]:
+        score = score + c
+    per_doc = per_term.groupBy("doc_id").agg(
+        score.alias("bm25_score"), F.count(F.lit(1)).alias("n_matched_terms")
+    )
+    # top-k FIRST via orderBy+limit (TakeOrderedAndProject: each task
+    # keeps its local top-20, the driver merges 20xP rows), THEN the
+    # rank window over the surviving 20 rows — never a global
+    # single-partition sort of every matched doc
+    top = per_doc.orderBy(F.desc("bm25_score"), F.asc("doc_id")).limit(BM25_TOP_K)
+    w = Window.orderBy(F.desc("bm25_score"), F.asc("doc_id"))
+    return (
+        top.withColumn("rnk", F.row_number().over(w))
+        .select("doc_id", "bm25_score", "n_matched_terms", "rnk")
+        .orderBy("rnk")
+    )

@@ -65,6 +65,8 @@ def register(
 # full strict sweeps at sf0.01/sf1/sf10).
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 6 (no driver row ever) --------------------------
+    "bm25_topk",
+    "ann_pq_topk",
     "copurchase_pairs",
     "rolling_active_users",
     "daily_value_anomalies",

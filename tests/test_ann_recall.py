@@ -63,6 +63,7 @@ def test_brute_force_finds_planted_clusters(spark, planted_sf_dir):
         ("ann_lsh_topk", 0.6),  # 4 bands x 8 planes at cos≈0.98
         ("ann_ivf_topk", 0.6),  # 8 cells, 2 probes
         ("ann_ivf_trained_topk", 0.6),  # k-median-refined cells
+        ("ann_pq_topk", 0.6),  # 8x16-code ADC (measured 0.8 here)
     ],
 )
 def test_ann_recall_on_clustered_data(spark, planted_sf_dir, approx_name, min_recall):

@@ -23,6 +23,8 @@ REPRESENTATIVES = (
     "pack_sequences",       # per-shard running-sum window
     "semantic_dedup",       # broadcast argmax + cell pair join
     "tfidf_top_terms",      # join + per-group top-k window
+    "bm25_topk",            # fixed-order per-term score sum
+    "ann_pq_topk",          # argmin encode + ADC lookup sum
 )
 
 

@@ -202,12 +202,14 @@ _BNLJ_BY_DESIGN = {
     "ann_topk",               # broadcast query batch x corpus scan
     "ann_ivf_topk",           # broadcast centroids x corpus scan
     "ann_ivf_trained_topk",   # broadcast centroids (trained) x corpus scan
+    "ann_pq_topk",            # broadcast query ADC tables x code scan
     "semantic_dedup",         # broadcast centroids x corpus scan
     "ivf_cell_purity",        # broadcast centroids x corpus scan
     "margin_signature_2months",  # 1-row date-bounds frame
     "margin_signature_60days",   # 1-row date-bounds frame
     "idle_customers_balance",    # 1-row avg-balance threshold frame
     "tfidf_top_terms",        # 1-row corpus-size frame
+    "bm25_topk",              # 1-row n_docs/avgdl stats frame
     "totalprice_histogram",   # 1-row min/max bounds frame
     "build_vocab",            # 1-row total-token-count frame
     "session_gap_profile",    # 1-row total-gap-count frame

@@ -112,3 +112,93 @@ def test_session_gap_profile_synthetic_buckets(spark):
         "3_5m_30m": (1, 1),
         "5_gt_2h": (1, 1),
     }
+
+
+# ---- bm25_topk: hand-computed pin on a tiny constructed corpus ------
+
+def test_bm25_matches_hand_computation(spark, tmp_path):
+    from data_engineering_challenge_spark.operators.text_analysis import (
+        BM25_B,
+        BM25_K1,
+        bm25_topk,
+    )
+
+    docs = [
+        (0, "vector merge vector stream"),        # 3 matched terms, dl=4
+        (1, "hash hash hash hash hash hash"),     # 1 term saturating, dl=6
+        (2, "the a of and to in is it"),          # no query terms, dl=8
+        (3, "vector"),                            # dl=1
+    ]
+    spark.createDataFrame(docs, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    got = {r.doc_id: r for r in bm25_topk(spark, str(tmp_path)).collect()}
+    assert set(got) == {0, 1, 3}, "doc 2 matches no query term"
+
+    n_docs, avgdl = 4, (4 + 6 + 8 + 1) / 4.0
+    df_ = {"vector": 2, "merge": 1, "stream": 1, "hash": 1}
+
+    def score(tf, term, dl):
+        idf = (n_docs - df_[term] + 0.5) / (df_[term] + 0.5)
+        sat = (tf * (BM25_K1 + 1.0)) / (
+            tf + BM25_K1 * (1.0 - BM25_B + BM25_B * (dl / avgdl))
+        )
+        return idf * sat
+
+    exp0 = score(2, "vector", 4) + score(1, "merge", 4) + score(1, "stream", 4)
+    exp1 = score(6, "hash", 6)
+    exp3 = score(1, "vector", 1)
+    assert abs(got[0].bm25_score - exp0) < 1e-12
+    assert abs(got[1].bm25_score - exp1) < 1e-12
+    assert abs(got[3].bm25_score - exp3) < 1e-12
+    assert got[0].n_matched_terms == 3
+    # rnk is dense over the returned rows, ordered by score desc
+    by_rnk = sorted(got.values(), key=lambda r: r.rnk)
+    assert [r.rnk for r in by_rnk] == [1, 2, 3]
+    scores = [r.bm25_score for r in by_rnk]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_saturation_bounds(spark, sf_dir):
+    """tf-saturation: the per-term factor is bounded by k1+1, so a doc
+    matching a single term can never exceed idf_max * (k1+1)."""
+    from data_engineering_challenge_spark.operators.text_analysis import (
+        BM25_K1,
+        BM25_QUERY_TERMS,
+        bm25_topk,
+    )
+
+    rows = bm25_topk(spark, sf_dir).collect()
+    assert rows and len(rows) <= 20
+    # rational idf with df>=1 on n docs is < n+0.5/1.5; a loose but
+    # structural ceiling: score < n_terms * idf_max * (k1+1)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    idf_max = (n_docs - 1 + 0.5) / 1.5
+    ceiling = len(BM25_QUERY_TERMS) * idf_max * (BM25_K1 + 1.0)
+    assert all(0 < r.bm25_score < ceiling for r in rows)
+    assert all(1 <= r.n_matched_terms <= len(BM25_QUERY_TERMS) for r in rows)
+
+
+# ---- ann_pq_topk: code-shape pin (recall gate lives in
+# tests/test_ann_recall.py; strict value rows in the oracle sweeps) ---
+
+def test_pq_topk_shape(spark, sf_dir):
+    from data_engineering_challenge_spark.operators.similarity import (
+        TOP_K,
+        ann_pq_topk,
+    )
+
+    rows = ann_pq_topk(spark, sf_dir).collect()
+    assert rows
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        assert len(rs) == min(TOP_K, len(rs))
+        assert [r.rnk for r in sorted(rs, key=lambda r: r.rnk)] == list(
+            range(1, len(rs) + 1)
+        )
+        assert all(r.neighbor_id != q for r in rs)
+        scores = [r.pq_score for r in sorted(rs, key=lambda r: r.rnk)]
+        assert scores == sorted(scores, reverse=True)
