@@ -850,10 +850,52 @@ def _pq_subs(vec: F.Column) -> F.Column:
     )
 
 
-@register(
-    "ann_pq_topk",
-    oracle=f"""
-        WITH e AS ({_CORPUS_SQL}),
+def _pq_codebook(e: DataFrame) -> DataFrame:
+    """(s, code, cvec): PQ_CODES stride-sampled seed vectors, sliced
+    into one codebook entry per subspace."""
+    params = e.agg(
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(F.count(F.lit(1)) / F.lit(float(PQ_CODES))).cast("bigint"),
+        ).alias("stride")
+    )
+    seeds = (
+        e.crossJoin(F.broadcast(params))
+        .filter(F.col("vec_id") % F.col("stride") == 0)
+        .select("vec_id", "v")
+    )
+    # the seed set is PQ_CODES-sized: a global row_number over ~16 rows
+    codes = seeds.select(
+        F.row_number().over(W.orderBy("vec_id")).alias("code"), "v"
+    )
+    return codes.select(
+        "code", F.posexplode(_pq_subs(F.col("v"))).alias("s0", "cvec")
+    ).select(F.col("s0") + 1, "code", "cvec").toDF("s", "code", "cvec")
+
+
+def _pq_encode(e: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(vec_id, s, code, d): argmin-L2 code per subspace, ties to the
+    lower code id; `d` is the winning subspace L2 distance."""
+    esub = e.select(
+        "vec_id", F.posexplode(_pq_subs(F.col("v"))).alias("s0", "sub")
+    ).select((F.col("s0") + 1).alias("s"), "vec_id", "sub")
+    wenc = W.partitionBy("vec_id", "s").orderBy(F.asc("d"), F.asc("code"))
+    return (
+        esub.join(F.broadcast(codebook), "s")
+        .select(
+            "vec_id", "s", "code",
+            _pq_l2_col(F.col("sub"), F.col("cvec")).alias("d"),
+        )
+        .withColumn("crnk", F.row_number().over(wenc))
+        .filter(F.col("crnk") == 1)
+    )
+
+
+# Shared oracle CTE chain: corpus → stride-seeded codebook →
+# per-subspace argmin-L2 encoding (carrying the winning distance `d`,
+# which pq_reconstruction_error folds into the per-vector error).
+_PQ_ENC_SQL = f"""
+        e AS ({_CORPUS_SQL}),
         params AS (SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / {PQ_CODES}.0) AS BIGINT))
                    AS stride FROM e),
         seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) AS code, v
@@ -869,8 +911,9 @@ def _pq_subs(vec: F.Column) -> F.Column:
             FROM e, range(1, {PQ_SUBSPACES + 1}) t(s)
         ),
         enc AS (
-            SELECT vec_id, s, code FROM (
+            SELECT vec_id, s, code, d FROM (
                 SELECT esub.vec_id, esub.s, cb.code,
+                       {_PQ_L2_SQL.format(a='sub', b='cvec')} AS d,
                        ROW_NUMBER() OVER (
                            PARTITION BY esub.vec_id, esub.s
                            ORDER BY {_PQ_L2_SQL.format(a='sub', b='cvec')} ASC,
@@ -878,7 +921,14 @@ def _pq_subs(vec: F.Column) -> F.Column:
                        ) AS crnk
                 FROM esub JOIN codebook cb ON esub.s = cb.s
             ) WHERE crnk = 1
-        ),
+        )
+"""
+
+
+@register(
+    "ann_pq_topk",
+    oracle=f"""
+        WITH {_PQ_ENC_SQL},
         codes_w AS (
             SELECT vec_id, list(code ORDER BY s) AS codes FROM enc GROUP BY vec_id
         ),
@@ -935,37 +985,8 @@ def _pq_subs(vec: F.Column) -> F.Column:
 )
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_with_norm(spark, sf_dir)
-    params = e.agg(
-        F.greatest(
-            F.lit(1).cast("bigint"),
-            F.floor(F.count(F.lit(1)) / F.lit(float(PQ_CODES))).cast("bigint"),
-        ).alias("stride")
-    )
-    seeds = (
-        e.crossJoin(F.broadcast(params))
-        .filter(F.col("vec_id") % F.col("stride") == 0)
-        .select("vec_id", "v")
-    )
-    # the seed set is PQ_CODES-sized: a global row_number over ~16 rows
-    codes = seeds.select(
-        F.row_number().over(W.orderBy("vec_id")).alias("code"), "v"
-    )
-    codebook = codes.select(
-        "code", F.posexplode(_pq_subs(F.col("v"))).alias("s0", "cvec")
-    ).select(F.col("s0") + 1, "code", "cvec").toDF("s", "code", "cvec")
-
-    esub = e.select(
-        "vec_id", F.posexplode(_pq_subs(F.col("v"))).alias("s0", "sub")
-    ).select((F.col("s0") + 1).alias("s"), "vec_id", "sub")
-    wenc = W.partitionBy("vec_id", "s").orderBy(
-        F.asc("d"), F.asc("code")
-    )
-    enc = (
-        esub.join(F.broadcast(codebook), "s")
-        .select("vec_id", "s", "code", _pq_l2_col(F.col("sub"), F.col("cvec")).alias("d"))
-        .withColumn("crnk", F.row_number().over(wenc))
-        .filter(F.col("crnk") == 1)
-    )
+    codebook = _pq_codebook(e)
+    enc = _pq_encode(e, codebook)
     codes_w = enc.groupBy("vec_id").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct("s", "code"))), lambda t: t["code"]
@@ -1008,4 +1029,53 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rnk", F.row_number().over(wk))
         .filter(F.col("rnk") <= TOP_K)
         .orderBy("query_id", "rnk")
+    )
+
+
+@register(
+    "pq_reconstruction_error",
+    oracle=f"""
+        WITH {_PQ_ENC_SQL},
+        per_vec AS (
+            -- per-vector error = fold of the 8 subspace L2 terms in
+            -- FIXED s-order (list_sum over an ORDER BY s list is the
+            -- same sequential fold Spark's F.aggregate performs); a
+            -- plain SUM would be accumulation-order-dependent
+            SELECT vec_id, list_sum(list(d ORDER BY s)) AS err
+            FROM enc GROUP BY vec_id
+        )
+        SELECT COUNT(*) AS n_vectors,
+               quantile_cont(err, 0.5) AS median_err,
+               quantile_cont(err, 0.9) AS p90_err,
+               MAX(err) AS max_err
+        FROM per_vec
+    """,
+    doc="Quantizer QA for the ann_pq_topk codebook: per-vector "
+    "reconstruction error (sum of the 8 winning subspace L2 "
+    "distances), summarized as exact order statistics — median/p90/"
+    "max, never a float mean, so both engines report identical "
+    "doubles (same policy as quantity_quartiles / "
+    "embedding_norm_audit). The production use: decide whether "
+    f"{PQ_CODES} codes per subspace is enough before freezing a "
+    "codebook for a 100 TB encode run. Cost: one encode scan + a "
+    "per-vector 8-row fold; no pair join at all.",
+    tags=("similarity", "pq", "profiling", "extension"),
+)
+def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_with_norm(spark, sf_dir)
+    enc = _pq_encode(e, _pq_codebook(e))
+    per_vec = enc.groupBy("vec_id").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("s", "d"))), lambda t: t["d"]
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("err")
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.percentile("err", 0.5).alias("median_err"),
+        F.percentile("err", 0.9).alias("p90_err"),
+        F.max("err").alias("max_err"),
     )

@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 6 (no driver row ever) --------------------------
     "bm25_topk",
     "ann_pq_topk",
+    "pq_reconstruction_error",
     "copurchase_pairs",
     "rolling_active_users",
     "daily_value_anomalies",

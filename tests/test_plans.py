@@ -203,6 +203,7 @@ _BNLJ_BY_DESIGN = {
     "ann_ivf_topk",           # broadcast centroids x corpus scan
     "ann_ivf_trained_topk",   # broadcast centroids (trained) x corpus scan
     "ann_pq_topk",            # broadcast query ADC tables x code scan
+    "pq_reconstruction_error",  # 1-row stride frame + broadcast codebook
     "semantic_dedup",         # broadcast centroids x corpus scan
     "ivf_cell_purity",        # broadcast centroids x corpus scan
     "margin_signature_2months",  # 1-row date-bounds frame

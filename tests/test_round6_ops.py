@@ -202,3 +202,16 @@ def test_pq_topk_shape(spark, sf_dir):
         assert all(r.neighbor_id != q for r in rs)
         scores = [r.pq_score for r in sorted(rs, key=lambda r: r.rnk)]
         assert scores == sorted(scores, reverse=True)
+
+
+def test_pq_reconstruction_error_ordering(spark, sf_dir):
+    """Order statistics must nest (median <= p90 <= max), errors are
+    non-negative, and n_vectors is the corpus size."""
+    from data_engineering_challenge_spark.operators.similarity import (
+        pq_reconstruction_error,
+    )
+
+    row = pq_reconstruction_error(spark, sf_dir).collect()[0]
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert row.n_vectors == n
+    assert 0.0 <= row.median_err <= row.p90_err <= row.max_err
