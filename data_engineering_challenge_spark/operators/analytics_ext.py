@@ -195,8 +195,8 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM stats
         WHERE cnt = {ANOMALY_WINDOW}
           AND (ss - (s * s) / cnt) / (cnt - 1) > 0
-          AND abs((daily_value - s / cnt)
-                  / sqrt((ss - (s * s) / cnt) / (cnt - 1))) > {ANOMALY_Z}
+          AND abs(ROUND((daily_value - s / cnt)
+                  / sqrt((ss - (s * s) / cnt) / (cnt - 1)), 6)) > {ANOMALY_Z}
         ORDER BY day
     """,
     doc=f"Daily-total anomaly days: |z| > {ANOMALY_Z} against a "

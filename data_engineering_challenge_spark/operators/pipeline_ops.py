@@ -93,7 +93,9 @@ def _gram_sql(n: int) -> str:
             WHERE len({_TOK_SQL}) >= {DECON_NGRAM}
         ),
         hashed AS (
-            SELECT doc_id, split, substr(md5(gram), 1, 16) AS gh FROM grams
+            SELECT doc_id, split,
+                   ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+            FROM grams
         ),
         train_ok AS (
             SELECT doc_id AS train_doc, gh FROM hashed WHERE split = 'train'
@@ -126,10 +128,10 @@ def decontaminate_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scale the trade tilts further: a cached 100-TB postings frame
         # spills to executor disk, while the recompute is an
         # embarrassingly parallel scan. gh is the md5 60-bit prefix as
-        # BIGINT — same truncated-digest family as the oracle's 64-bit
-        # hex prefix (collision-indistinguishable at these cardinalities,
-        # and gh is internal to the join), at 8 shuffle bytes instead of
-        # a 20-byte string.
+        # BIGINT — the oracle mirrors the identical 60-bit key
+        # (('0x' || substr(md5, 1, 15))::BIGINT), so both engines share
+        # one collision surface, at 8 shuffle bytes instead of a
+        # 20-byte string.
         d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
             load_table(spark, sf_dir, "documents"), spark, "doc_id"
         )

@@ -727,12 +727,14 @@ def revenue_daily_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
 # session-gap calibration profile
 
 # bucket upper edges in microseconds. Edges are upper-EXCLUSIVE except
-# the 1800 s edge, which is upper-INCLUSIVE so it aligns exactly with
-# the session rule: sessionization breaks on gap > SESSION_GAP_US, so a
-# gap of precisely 30:00.000000 stays in-session and must land in the
-# in-session bucket. The profile shows how much probability mass sits
-# on each side of that cut, which is how the threshold gets
-# (re)calibrated.
+# the 1800 s (30 m) and 7200 s (2 h) edges, which are upper-INCLUSIVE.
+# The 1800 s inclusivity aligns exactly with the session rule:
+# sessionization breaks on gap > SESSION_GAP_US, so a gap of precisely
+# 30:00.000000 stays in-session and must land in the in-session
+# bucket. The 2 h edge mirrors that convention (oracle CASE uses
+# <= 7200000000) so the last finite bucket is closed on the right too.
+# The profile shows how much probability mass sits on each side of the
+# session cut, which is how the threshold gets (re)calibrated.
 _GAP_EDGES = (
     (1_000_000, False, "0_lt_1s"),
     (60_000_000, False, "1_1s_1m"),

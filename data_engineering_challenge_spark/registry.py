@@ -51,75 +51,18 @@ def register(
 
 # A correctness harness that samples a prefix of the registry (the
 # driver checks the first ~50) must see the queries with the least
-# accumulated evidence first: (a) queries that have never had a driver
-# row, (b) queries whose implementation changed since their last green
-# row, (c) the cohort still riding on round-1 rows. Long-green queries
-# with fresh rows keep their historical evidence and can safely sit
-# past the prefix. This is pure iteration order — membership and
-# semantics are unchanged. Rotated each round (round 6: the four
-# queries whose implementation changed this round — sign-LSH cap,
-# trained-IVF cell count, sessionize NULL-hot fix — then the 38
-# queries absent from CORRECTNESS_r05.json, whose newest driver rows
-# are r4-era. 42 entries fit the ~50-row driver sample; the r5-green
-# cohort sits past the prefix on fresh evidence, re-covered by the
-# full strict sweeps at sf0.01/sf1/sf10).
+# accumulated evidence first. Rotated each round; round 7 fronts the
+# 62 queries with no CORRECTNESS_r06 row: new round-7 operators first
+# (no driver row ever), then the 14 absent from BOTH r05 and r06
+# (newest driver rows are r4-era), then the 48 green in r05 but not
+# sampled in r06. The 50 r06-green queries sit past the prefix on
+# fresh evidence, re-covered by the full strict sweeps at
+# sf0.01/sf1/sf10. Pure iteration order - membership and semantics
+# are unchanged.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- new in round 6 (no driver row ever) --------------------------
-    "bm25_topk",
-    "ann_pq_topk",
-    "pq_reconstruction_error",
-    "copurchase_pairs",
-    "rolling_active_users",
-    "daily_value_anomalies",
-    "bigram_merge_candidates",
-    "forecast_revenue_change",
-    "volume_shipping",
-    "nation_market_share",
-    "product_type_profit",
-    "returned_item_customers",
-    "late_shipment_priority",
-    "top_supplier_by_revenue",
-    "large_volume_customers",
-    "brand_size_disjunction_revenue",
-    "fuzzy_decontaminate",
-    "user_retention_cohorts",
-    "funnel_conversion",
-    "build_vocab",
-    "embedding_norm_audit",
-    "session_gap_profile",
-    # -- implementation changed round 6 -------------------------------
-    # sign-LSH hot-bucket cap (relative, oracle-mirrored)
-    "embedding_cosine_pairs",
-    # search-optimal trained-quantizer cell count (√(n·nprobe/qmod))
-    "ann_ivf_trained_topk",
-    # NULL-group-is-hot fix in sessionize_hybrid_frame
-    "sessionize_events",
-    "sessionize_skew_hybrid",
-    # -- no green driver row since r4 (absent from CORRECTNESS_r05) --
-    "simhash_pairs",
-    "dedup_clusters",
-    "csv_ingest_check",
-    "orders_merge_upsert",
-    "multimodal_meta",
-    "decontaminate_split",
-    "repetition_profile",
-    "sample_mixture",
-    "pii_scrub",
-    "pack_sequences",
-    "dedup_savings",
-    "column_stats_orders",
-    "nation_trade_balance",
-    "acctbal_grouping_sets",
-    "small_parts_revenue",
-    "promo_revenue_share",
-    "idle_customers_balance",
-    "ann_topk",
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "semantic_dedup",
-    "ivf_cell_purity",
-    "approx_distinct_check",
-    "token_counts",
+    # -- new in round 7 (no driver row ever) --------------------------
+    # (inserted here as round-7 operators land)
+    # -- newest driver row is r4-era (absent from r05 AND r06) --------
     "doc_quality",
     "lang_id",
     "doc_fingerprint",
@@ -134,6 +77,55 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "placeholder_discovery",
     "value_format_profile_events",
     "events_session_window",
+    # -- green in r05, not sampled in r06 -----------------------------
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "minhash_precision_audit",
+    "source_quality_rollup",
+    "rare_token_profile",
+    "multimodal_frames",
+    "user_value_trend",
+    "table_profile",
+    "totalprice_histogram",
+    "revenue_per_day",
+    "top10_units",
+    "tx_per_store",
+    "timeframe",
+    "margin_signature_2months",
+    "margin_signature_60days",
+    "dup_groups",
+    "pricing_summary",
+    "sales_cube",
+    "parts_shipped_both_years",
+    "supplier_shipments_lost_yoy",
+    "shipping_priority_top10",
+    "local_supplier_volume",
+    "customers_without_orders",
+    "suppliers_of_promo_parts",
+    "quantity_quartiles",
+    "customer_order_distribution",
+    "orders_status_priority_pivot",
+    "order_measures_unpivot",
+    "orders_with_discounted_lines",
+    "tx_per_store_salted",
+    "segment_event_value_salted",
+    "blamed_suppliers",
+    "approx_quantiles_check",
+    "clicks_asof_purchase",
+    "purchase_click_context",
+    "events_json_extract",
+    "events_props_map",
+    "events_variant_extract",
+    "top3_parts_per_supplier",
+    "revenue_running_total",
+    "events_hourly",
+    "events_sliding_1h30m",
+    "sales_rollup",
+    "daily_revenue_analytics",
+    "events_by_hour_of_day",
+    "priority_price_extremes",
+    "revenue_daily_deltas",
 )
 
 

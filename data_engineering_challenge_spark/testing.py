@@ -90,7 +90,17 @@ def duckdb_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # harness (observed at sf100 on the ANN oracles). A bound + spill
     # dir turns that into disk-backed execution. Both knobs are
     # overridable for small boxes / bigger sweeps.
-    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", "48GB")
+    # Default bounds at min(48GB, half of physical RAM): DuckDB's own
+    # default is ~80% of RAM, so a flat 48GB would RAISE the cap on
+    # boxes under ~60GB and make the OOM it guards against more likely.
+    try:
+        phys_gb = (
+            os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") // (1 << 30)
+        )
+        default_mem = f"{min(48, max(1, phys_gb // 2))}GB"
+    except (ValueError, OSError):
+        default_mem = "48GB"
+    mem = os.environ.get("SPARK_GRAFT_ORACLE_MEM", default_mem)
     con.execute(f"SET memory_limit='{mem}'")
     tmp = os.environ.get("SPARK_GRAFT_ORACLE_TMP", "/tmp/duckdb_spill")
     os.makedirs(tmp, exist_ok=True)
