@@ -546,6 +546,209 @@ def minhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental (corpus-delta) dedup — round 7.
+#
+# The production shape for a growing 100-TB corpus: dedup a NEW batch
+# of documents against a FROZEN corpus MinHash index without ever
+# recomputing the corpus side (reference capability analogue: the load
+# path's incremental ingest posture,
+# /root/reference/src/db/pipeline.py:264-309). The index is a
+# versioned snapshot (sinks/versioned.py — atomic manifest publish, so
+# a reader never sees a half-built index) holding one row per corpus
+# doc: (doc_id, s: array<long>[16]), the FULL MinHash signature. Band
+# hashes derive from `s` with 4 md5 calls per doc at read time — no
+# tokenization, no gram explode, no corpus text scan. At 100 TB the
+# corpus side of the nightly dedup becomes a signature-table scan
+# (~136 B/doc instead of the multi-KB document body), and only the
+# delta pays the tokenize/shingle/hash pipeline.
+#
+# Semantics (oracle-verified): identical to running minhash_lsh_pairs
+# over the FULL corpus (union of frozen + delta) and keeping exactly
+# the pairs that involve at least one delta doc. The hot-bucket cap is
+# computed over the UNION of band buckets — the same bucket sizes the
+# full-corpus run sees — so incremental and full runs agree pair-for-
+# pair (the equivalence the oracle replays).
+
+INCR_DELTA_BUCKETS = 100
+INCR_DELTA_FROM = 90  # md5 buckets >= this are the "new batch" (10%)
+_INCR_BUCKET_SQL = (
+    "('0x' || substr(md5('inc:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    f" % {INCR_DELTA_BUCKETS}"
+)
+
+
+def _incr_bucket(col):
+    """Deterministic 0..99 bucket of doc_id, salted 'inc:' so the
+    delta split is independent of the train/val/test split."""
+    keyed = F.concat(F.lit("inc:"), col.cast("string"))
+    return (
+        F.conv(F.substring(F.md5(keyed.cast("binary")), 1, 8), 16, 10).cast("long")
+        % INCR_DELTA_BUCKETS
+    )
+
+
+def _grams_of(docs: DataFrame) -> DataFrame:
+    """(doc_id, gram) distinct word-3-grams of an arbitrary doc frame
+    (same chain as _distinct_grams, without the table load)."""
+    grams = word_ngrams(tokens(F.col("text")), 3)
+    return docs.select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+
+
+def minhash_index_dir(sf_dir: str) -> str:
+    """Deterministic index location for a corpus, fingerprinted by the
+    documents file's (path, mtime, size) so a regenerated fixture
+    triggers a rebuild instead of serving a stale index."""
+    import hashlib
+    import tempfile
+
+    import os as _os
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = _os.stat(src)
+        fp_src = f"{_os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp_src = _os.path.abspath(src)
+    fp = hashlib.md5(fp_src.encode()).hexdigest()[:16]
+    base = _os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        _os.path.join(tempfile.gettempdir(), "spark_graft_minhash_index"),
+    )
+    return _os.path.join(base, fp)
+
+
+def build_minhash_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    """Compute the frozen-corpus MinHash signatures (buckets <
+    INCR_DELTA_FROM) and publish them as a versioned snapshot. Returns
+    the published version. One corpus scan; the snapshot is the only
+    artifact the incremental path ever reads."""
+    from ..sinks.versioned import write_snapshot
+
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
+    corpus = d.filter(_incr_bucket(F.col("doc_id")) < INCR_DELTA_FROM)
+    sig = _minhash_signatures(spark, sf_dir, grams=_grams_of(corpus))
+    return write_snapshot(sig, table_dir)
+
+
+def _band_hashes_col():
+    rows_per_band = NUM_MINHASH // MINHASH_BANDS
+    return F.array(
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col("s").getItem(b * rows_per_band + i)
+                        for i in range(rows_per_band)
+                    ],
+                ).cast("binary")
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+
+
+@register(
+    "incremental_dedup",
+    oracle=f"""
+        WITH {_MINHASH_CAND_SQL},
+        est AS (
+            SELECT doc_a, doc_b,
+                   len(list_filter(range(1, {NUM_MINHASH + 1}),
+                                   i -> sa.s[i] = sb.s[i])) / {NUM_MINHASH}.0
+                       AS est_jaccard
+            FROM cand
+            JOIN sig sa ON sa.doc_id = doc_a
+            JOIN sig sb ON sb.doc_id = doc_b
+        )
+        SELECT doc_a, doc_b, est_jaccard
+        FROM est
+        WHERE est_jaccard >= 0.5
+          AND (('0x' || substr(md5('inc:' || CAST(doc_a AS VARCHAR)), 1, 8))::BIGINT
+                   % {INCR_DELTA_BUCKETS} >= {INCR_DELTA_FROM}
+               OR ('0x' || substr(md5('inc:' || CAST(doc_b AS VARCHAR)), 1, 8))::BIGINT
+                   % {INCR_DELTA_BUCKETS} >= {INCR_DELTA_FROM})
+        ORDER BY doc_a, doc_b
+    """,
+    doc="Incremental dedup of a NEW document batch (the 10% of docs in "
+    "md5-salted buckets >= 90) against a FROZEN MinHash signature "
+    "index of the other 90%, built once via build_minhash_index and "
+    "read back as a versioned-snapshot parquet scan — the corpus side "
+    "is never re-tokenized (plan-asserted). Candidates come from "
+    "joining the delta's band hashes against the UNION of index and "
+    "delta bands with the standard hot-bucket cap (union bucket "
+    "sizes = full-corpus bucket sizes, so results are pair-identical "
+    "to a full-corpus run restricted to delta-involved pairs — which "
+    "is exactly what the oracle replays). The production shape for a "
+    "growing corpus: nightly cost is O(delta) tokenization plus a "
+    "signature-table scan, not O(corpus).",
+    tags=("dedup", "lsh", "incremental", "extension"),
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..sinks.versioned import read_snapshot
+
+    table_dir = minhash_index_dir(sf_dir)
+    if not _os.path.exists(_os.path.join(table_dir, "manifest.json")):
+        build_minhash_index(spark, sf_dir, table_dir)
+    corpus_sig = read_snapshot(spark, table_dir).withColumn(
+        "is_delta", F.lit(False)
+    )
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
+    delta_docs = d.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
+    delta_sig = _minhash_signatures(
+        spark, sf_dir, grams=_grams_of(delta_docs)
+    ).withColumn("is_delta", F.lit(True))
+    allsig = _reused(corpus_sig.unionByName(delta_sig))
+    bands = allsig.select(
+        "doc_id", "is_delta", F.posexplode(_band_hashes_col()).alias("b", "bh")
+    )
+    # hot-bucket cap over the UNION — identical bucket sizes to the
+    # full-corpus run, windowed on exactly the join key (no extra
+    # exchange), same rule as _lsh_candidates
+    bands = (
+        bands.withColumn("bsz", F.count(F.lit(1)).over(W.partitionBy("b", "bh")))
+        .filter(F.col("bsz") <= MAX_BAND_BUCKET)
+        .drop("bsz")
+    )
+    bands = _reused(bands)
+    delta_bands = bands.filter(F.col("is_delta"))
+    a, b = delta_bands.alias("a"), bands.alias("b")
+    # delta x union join (NOT a full self-join): every delta-involved
+    # pair shares a capped bucket with its delta member, so this join
+    # sees exactly the delta's posting lists
+    cand = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = allsig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = allsig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    eq = F.zip_with("s_a", "s_b", lambda x, y: (x == y).cast("int"))
+    est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(NUM_MINHASH)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .orderBy("doc_a", "doc_b")
+    )
+
+
 def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fp: 60-bit simhash as long).
 

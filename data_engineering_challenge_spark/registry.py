@@ -61,7 +61,7 @@ def register(
 # are unchanged.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 7 (no driver row ever) --------------------------
-    # (inserted here as round-7 operators land)
+    "incremental_dedup",
     # -- newest driver row is r4-era (absent from r05 AND r06) --------
     "doc_quality",
     "lang_id",

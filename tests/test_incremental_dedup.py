@@ -1,0 +1,124 @@
+"""Incremental (corpus-delta) dedup (operators/dedup.py round 7).
+
+The production shape for a growing corpus: dedup a NEW batch against a
+FROZEN MinHash signature index without recomputing the corpus side.
+Pins (1) the equivalence contract — incremental == full-corpus dedup
+restricted to delta-involved pairs — on a crafted corpus with known
+near-dups straddling the index boundary, and (2) the scale property
+that makes it incremental: the corpus side of the plan is a stored-
+signature parquet scan, never a re-tokenization of corpus text.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pandas as pd
+import pytest
+
+from data_engineering_challenge_spark.operators.dedup import (
+    INCR_DELTA_BUCKETS,
+    INCR_DELTA_FROM,
+    build_minhash_index,
+    incremental_dedup,
+    minhash_index_dir,
+    minhash_lsh_pairs,
+)
+from data_engineering_challenge_spark.plans import physical_plan
+
+
+def _bucket(doc_id: int) -> int:
+    return int(hashlib.md5(f"inc:{doc_id}".encode()).hexdigest()[:8], 16) % (
+        INCR_DELTA_BUCKETS
+    )
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog by the river bank "
+    "while the sun sets slowly behind the old stone bridge tonight"
+)
+
+
+@pytest.fixture(scope="module")
+def straddle_corpus_dir(tmp_path_factory):
+    """Near-dup clusters placed so pairs exist corpus-corpus,
+    corpus-delta, and delta-delta."""
+    corpus_ids = [i for i in range(400) if _bucket(i) < INCR_DELTA_FROM]
+    delta_ids = [i for i in range(400) if _bucket(i) >= INCR_DELTA_FROM]
+    assert len(corpus_ids) >= 4 and len(delta_ids) >= 4
+    rows = []
+    # cluster A: two corpus docs + one delta doc, near-identical
+    for i, d in enumerate([corpus_ids[0], corpus_ids[1], delta_ids[0]]):
+        rows.append({"doc_id": d, "text": BASE + f" variant {i % 2}"})
+    # cluster B: two delta docs
+    for d in (delta_ids[1], delta_ids[2]):
+        rows.append({"doc_id": d, "text": BASE.replace("fox", "wolf")})
+    # singletons (no pairs)
+    for j, d in enumerate(corpus_ids[2:12]):
+        rows.append(
+            {"doc_id": d, "text": f"completely unrelated document number {j} "
+             + " ".join(f"tok{j}_{k}" for k in range(30))}
+        )
+    root = tmp_path_factory.mktemp("straddle")
+    pd.DataFrame(rows).to_parquet(root / "documents.parquet", index=False)
+    return str(root)
+
+
+def test_incremental_equals_full_restricted(
+    spark, straddle_corpus_dir, tmp_path, monkeypatch
+):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    full = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in minhash_lsh_pairs(spark, straddle_corpus_dir).collect()
+    }
+    restricted = {
+        k: v
+        for k, v in full.items()
+        if _bucket(k[0]) >= INCR_DELTA_FROM or _bucket(k[1]) >= INCR_DELTA_FROM
+    }
+    inc = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in incremental_dedup(spark, straddle_corpus_dir).collect()
+    }
+    assert inc == restricted
+    # the fixture must actually exercise the interesting shapes:
+    # at least one delta-involved pair found, and at least one
+    # corpus-corpus pair correctly EXCLUDED from the incremental result
+    assert len(inc) >= 2
+    assert len(full) > len(restricted)
+
+
+def test_corpus_side_is_stored_signature_scan(
+    spark, straddle_corpus_dir, tmp_path, monkeypatch
+):
+    """After the index exists, the incremental plan reads corpus
+    signatures from the snapshot parquet and scans the documents table
+    exactly once (the delta side). No corpus re-tokenization."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx2"))
+    table_dir = minhash_index_dir(straddle_corpus_dir)
+    v = build_minhash_index(spark, straddle_corpus_dir, table_dir)
+    assert v == 1
+    df = incremental_dedup(spark, straddle_corpus_dir)
+    plan = physical_plan(df, "formatted")
+    # corpus side: the versioned snapshot path appears as a scan source
+    assert f"v={v}" in plan
+    # delta side: the documents table is scanned exactly once in the
+    # physical plan (the corpus text is never re-read)
+    assert plan.count("documents.parquet") == 1
+
+
+def test_index_reused_not_rebuilt(spark, straddle_corpus_dir, tmp_path, monkeypatch):
+    """Two invocations over the same fixture share one index version —
+    the second run never rewrites the snapshot (manifest stays at
+    v=1), which is the O(delta) nightly-cost contract."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx3"))
+    incremental_dedup(spark, straddle_corpus_dir).collect()
+    table_dir = minhash_index_dir(straddle_corpus_dir)
+    import json
+
+    m1 = json.load(open(os.path.join(table_dir, "manifest.json")))
+    incremental_dedup(spark, straddle_corpus_dir).collect()
+    m2 = json.load(open(os.path.join(table_dir, "manifest.json")))
+    assert m1 == m2 == {"latest": 1, "versions": [1]}

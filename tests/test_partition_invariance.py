@@ -25,6 +25,7 @@ REPRESENTATIVES = (
     "tfidf_top_terms",      # join + per-group top-k window
     "bm25_topk",            # fixed-order per-term score sum
     "ann_pq_topk",          # argmin encode + ADC lookup sum
+    "incremental_dedup",    # frozen-index scan + delta banding join
 )
 
 
