@@ -279,3 +279,155 @@ def bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("bigram"))
         .limit(BIGRAM_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterated BPE merge learning (round 7) — bigram_merge_candidates
+# computes ONE merge iteration's candidate table; real tokenizer
+# training iterates merge -> re-segment k times. Semantics per step:
+# count all adjacent token pairs over the CURRENT segmentation, pick
+# the single most frequent pair (ties: lexicographic lhs, rhs), then
+# greedily merge its non-overlapping occurrences left-to-right in
+# every sequence. The merged token is the space-join of its parts, so
+# later merges compose ("a b" + "c" -> "a b c"), exactly the BPE
+# merge-table shape.
+#
+# Scale design: the re-segmentation is a per-row JVM fold
+# (F.aggregate over the token array — whole-stage codegen, no Python,
+# no explode-shuffle of the corpus); only the PAIR COUNTS shuffle, and
+# they partial-aggregate map-side to vocabulary size. Each generation
+# is eagerly localCheckpoint-ed, the same lineage-bounding pattern as
+# the connected-components loop (operators/graph.py) — without it the
+# k-th generation's plan nests k folds deep. The per-step argmax is a
+# 1-row driver decision (bounded, same precedent as the cosine cap).
+# The fold copies the accumulator per element (quadratic in per-DOC
+# token count, linear in corpus) — fine for document-sized rows; a
+# 100k-token row would want a segmented fold.
+
+BPE_LEARN_STEPS = 6
+
+
+def _bpe_learn_sql(k: int) -> str:
+    """DuckDB oracle: k mirrored merge->re-segment iterations. Greedy
+    non-overlapping occurrence selection is expressed relationally as
+    gaps-and-islands over match positions: within each maximal run of
+    consecutive matches, the odd-ranked positions are exactly the
+    pairs the left-to-right greedy scan merges."""
+    parts = [
+        f"seq0 AS MATERIALIZED (SELECT doc_id, {_TOK_SQL} AS seq FROM documents)"
+    ]
+    finals = []
+    for i in range(1, k + 1):
+        p = i - 1
+        parts.append(f"""tok{i} AS MATERIALIZED (
+            SELECT doc_id, unnest(seq) AS tok, generate_subscripts(seq, 1) AS pos
+            FROM seq{p}
+        )""")
+        parts.append(f"""nxt{i} AS MATERIALIZED (
+            SELECT doc_id, tok, pos,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nt
+            FROM tok{i}
+        )""")
+        parts.append(f"""m{i} AS MATERIALIZED (
+            SELECT tok AS lhs, nt AS rhs, COUNT(*) AS freq
+            FROM nxt{i} WHERE nt IS NOT NULL
+            GROUP BY 1, 2
+            ORDER BY freq DESC, lhs, rhs
+            LIMIT 1
+        )""")
+        parts.append(f"""mm{i} AS MATERIALIZED (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM nxt{i}
+            WHERE tok = (SELECT lhs FROM m{i}) AND nt = (SELECT rhs FROM m{i})
+        )""")
+        parts.append(f"""chosen{i} AS MATERIALIZED (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY pos) AS rn
+                FROM mm{i}
+            ) WHERE rn % 2 = 1
+        )""")
+        parts.append(f"""seq{i} AS MATERIALIZED (
+            SELECT n.doc_id,
+                   list(CASE WHEN c.pos IS NOT NULL THEN n.tok || ' ' || n.nt
+                             ELSE n.tok END ORDER BY n.pos) AS seq
+            FROM nxt{i} n
+            LEFT JOIN chosen{i} c ON c.doc_id = n.doc_id AND c.pos = n.pos
+            LEFT JOIN chosen{i} pp ON pp.doc_id = n.doc_id AND pp.pos = n.pos - 1
+            WHERE pp.pos IS NULL
+            GROUP BY n.doc_id
+        )""")
+        finals.append(
+            f"SELECT {i} AS step, lhs, rhs, CAST(freq AS BIGINT) AS freq FROM m{i}"
+        )
+    return (
+        "WITH " + ",\n".join(parts)
+        + "\nSELECT * FROM (" + " UNION ALL ".join(finals) + ") ORDER BY step"
+    )
+
+
+@register(
+    "bpe_learn",
+    oracle=_bpe_learn_sql(BPE_LEARN_STEPS),
+    doc=f"Learned BPE merge table: {BPE_LEARN_STEPS} iterations of "
+    "merge->re-segment over the corpus (most frequent adjacent pair "
+    "per step, lexicographic tie-break, greedy non-overlapping "
+    "left-to-right merging). Re-segmentation is a per-row JVM fold "
+    "(no corpus explode between iterations); pair counts "
+    "partial-aggregate to vocabulary size; generations are "
+    "localCheckpoint-ed per the graph.py lineage-bounding pattern. "
+    "The oracle replays every iteration in mirrored SQL with "
+    "gaps-and-islands greedy-occurrence selection.",
+    tags=("text", "iterative", "extension"),
+)
+def bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import spread_scan
+
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
+    prev = d.select("doc_id", tokens(F.col("text")).alias("seq")).localCheckpoint()
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, BPE_LEARN_STEPS + 1):
+        staged = prev.filter(F.size("seq") >= 2).select(
+            F.expr("slice(seq, 1, size(seq) - 1)").alias("la"),
+            F.expr("slice(seq, 2, size(seq) - 1)").alias("ra"),
+        )
+        top = (
+            staged.select(F.explode(F.arrays_zip("la", "ra")).alias("p"))
+            .select(F.col("p.la").alias("lhs"), F.col("p.ra").alias("rhs"))
+            .groupBy("lhs", "rhs")
+            .agg(F.count(F.lit(1)).alias("freq"))
+            .orderBy(F.desc("freq"), F.asc("lhs"), F.asc("rhs"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        lhs, rhs, freq = top[0]["lhs"], top[0]["rhs"], int(top[0]["freq"])
+        merges.append((step, lhs, rhs, freq))
+        la, lb = F.lit(lhs), F.lit(rhs)
+        merged = F.lit(f"{lhs} {rhs}")
+        # greedy left-to-right merge as a fold: if the accumulator's
+        # last element is lhs and the incoming token is rhs, replace
+        # the last element with the merged token (F.get returns NULL
+        # out-of-bounds, so the empty accumulator falls through).
+        # After a merge the last element becomes "lhs rhs", which can
+        # never equal lhs again, so overlapping occurrences are
+        # skipped exactly like the sequential scan.
+        fold = F.aggregate(
+            F.col("seq"),
+            F.expr("CAST(array() AS array<string>)"),
+            lambda acc, x: F.when(
+                (F.get(acc, F.size(acc) - 1) == la) & (x == lb),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+        nxt = prev.select("doc_id", fold.alias("seq")).localCheckpoint()
+        prev = nxt
+    return spark.createDataFrame(
+        merges, schema="step int, lhs string, rhs string, freq bigint"
+    ).orderBy("step")

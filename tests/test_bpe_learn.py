@@ -1,0 +1,88 @@
+"""Iterated BPE merge learning (operators/analytics_ext.py bpe_learn).
+
+Pins the merge semantics on a hand-computed corpus: pair counting over
+the current segmentation, single winner per step with lexicographic
+tie-break, greedy non-overlapping left-to-right re-segmentation, and
+merge composition (later merges treat earlier merged tokens as units).
+The DuckDB oracle (gaps-and-islands greedy selection) is checked
+against the same hand computation, so a drift in EITHER engine's
+re-segmentation breaks this test, not just the cross-engine compare.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from data_engineering_challenge_spark import testing
+from data_engineering_challenge_spark.operators.analytics_ext import (
+    BPE_LEARN_STEPS,
+    _bpe_learn_sql,
+    bpe_learn,
+)
+
+# doc1: a b a b c   doc2: a b c d
+#
+# step 1 pairs: (a,b)x3  (b,a)x1  (b,c)x2  (c,d)x1       -> merge (a,b) f=3
+#   doc1: [a b, a b, c]      doc2: [a b, c, d]
+# step 2 pairs: (a b,a b)x1  (a b,c)x2  (c,d)x1          -> merge (a b,c) f=2
+#   doc1: [a b, a b c]       doc2: [a b c, d]
+# step 3 pairs: (a b,a b c)x1  (a b c,d)x1  tie, lhs asc -> merge (a b,a b c) f=1
+HAND = [
+    (1, "a", "b", 3),
+    (2, "a b", "c", 2),
+    (3, "a b", "a b c", 1),
+]
+
+
+@pytest.fixture(scope="module")
+def hand_corpus_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("bpehand")
+    pd.DataFrame(
+        [
+            {"doc_id": 1, "text": "a b a b c"},
+            {"doc_id": 2, "text": "a b c d"},
+        ]
+    ).to_parquet(root / "documents.parquet", index=False)
+    return str(root)
+
+
+def test_spark_matches_hand_computation(spark, hand_corpus_dir):
+    rows = [tuple(r) for r in bpe_learn(spark, hand_corpus_dir).collect()]
+    assert rows[:3] == HAND
+    # the run continues past step 3 while pairs remain; every step's
+    # frequency is a positive count and steps are consecutive
+    assert [r[0] for r in rows] == list(range(1, len(rows) + 1))
+    assert all(r[3] >= 1 for r in rows)
+    assert len(rows) <= BPE_LEARN_STEPS
+
+
+def test_oracle_matches_hand_computation(hand_corpus_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{hand_corpus_dir}/documents.parquet'"
+    )
+    _, rows = testing.run_oracle(con, _bpe_learn_sql(3))
+    assert [tuple(r) for r in rows] == HAND
+
+
+def test_overlapping_run_merges_greedily(spark, tmp_path_factory):
+    """'x x x x x' with winner (x,x): greedy merges positions 1-2 and
+    3-4, leaving [x x, x x, x] — the overlap case both the fold and
+    the islands-parity SQL must get right."""
+    root = tmp_path_factory.mktemp("bperun")
+    pd.DataFrame([{"doc_id": 1, "text": "x x x x x"}]).to_parquet(
+        root / "documents.parquet", index=False
+    )
+    rows = [tuple(r) for r in bpe_learn(spark, str(root)).collect()]
+    # step 1: (x,x) appears 4 times (overlapping count)
+    assert rows[0] == (1, "x", "x", 4)
+    # step 2 segmentation is [x x, x x, x]: pairs (x x, x x) and (x x, x)
+    assert rows[1] == (2, "x x", "x", 1) or rows[1] == (2, "x x", "x x", 1)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{root}/documents.parquet'"
+    )
+    _, orows = testing.run_oracle(con, _bpe_learn_sql(2))
+    assert [tuple(r) for r in orows] == rows[:2]
