@@ -127,25 +127,213 @@ def sample_frames(df: DataFrame, id_col: str, payload_col: str, n_frames: int) -
     return df.select(id_col, payload_col).mapInPandas(op, schema=FRAME_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Real decode path (round 7): a pure-stdlib 24-bit BMP codec. The
+# container ships no PIL/ffmpeg, but uncompressed BMP needs only
+# `struct` — so decode → transform → re-encode runs END TO END here,
+# not as a stub. Compressed formats (JPEG/PNG/video) still route to
+# decode_media's NotImplementedError gate; the Spark-side plumbing is
+# identical either way (Arrow-batched mapInPandas, payloads never
+# leave executors).
+
+
+def encode_bmp(width: int, height: int, pix) -> bytes:
+    """Encode a 24-bit uncompressed BMP (BITMAPINFOHEADER, bottom-up
+    rows, 4-byte row padding). `pix(x, y) -> (b, g, r)`."""
+    import struct
+
+    row_size = (3 * width + 3) // 4 * 4
+    img_size = row_size * height
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y in range(height - 1, -1, -1):  # bottom-up storage order
+        row = bytearray()
+        for x in range(width):
+            b, g, r = pix(x, y)
+            row += bytes((b, g, r))
+        row += b"\x00" * (row_size - 3 * width)
+        rows.append(bytes(row))
+    return header + info + b"".join(rows)
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode a 24-bit uncompressed BMP to (width, height, grid) with
+    grid[y][x] = (b, g, r), y=0 at the top."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    width = struct.unpack_from("<i", payload, 18)[0]
+    height = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    row_size = (3 * width + 3) // 4 * 4
+    grid: list[list[tuple[int, int, int]]] = []
+    for y in range(height):
+        base = off + (height - 1 - y) * row_size
+        grid.append(
+            [
+                (payload[base + 3 * x], payload[base + 3 * x + 1], payload[base + 3 * x + 2])
+                for x in range(width)
+            ]
+        )
+    return width, height, grid
+
+
+def resize_nearest(
+    width: int, height: int, grid: list, scale: float = 0.5
+) -> tuple[int, int, list]:
+    """Nearest-neighbor resize; output dims floor-scaled with a 1px
+    minimum."""
+    nw = max(1, int(width * scale))
+    nh = max(1, int(height * scale))
+    ngrid = [
+        [
+            grid[min(height - 1, int(y / scale))][min(width - 1, int(x / scale))]
+            for x in range(nw)
+        ]
+        for y in range(nh)
+    ]
+    return nw, nh, ngrid
+
+
 def resize_media(df: DataFrame, id_col: str, payload_col: str, scale: float = 0.5) -> DataFrame:
-    """Resize stage: decode (stubbed fake) → scale dimensions. Schema,
-    batch shape, and partition parallelism are production-real; the
-    pixel work is where PIL would slot in."""
+    """Resize stage over binary payloads. BMP payloads (b'BM' magic)
+    take the REAL path: stdlib decode → nearest-neighbor resize →
+    re-encode → re-decode, so the reported dimensions come from actual
+    pixel work. Other formats fall back to the deterministic fake
+    decoder (codec libraries absent in this container)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            metas = [decode_media(bytes(p), fake=True) for p in pdf[payload_col]]
+            ow, oh, nws, nhs = [], [], [], []
+            for p in pdf[payload_col]:
+                p = bytes(p)
+                if p[:2] == b"BM":
+                    w, h, grid = decode_bmp(p)
+                    nw, nh, ngrid = resize_nearest(w, h, grid, scale)
+                    # re-encode and re-decode: the reported dims are
+                    # read back out of the resized FILE, proving the
+                    # round trip, not echoing the arithmetic
+                    rw, rh, _ = decode_bmp(
+                        encode_bmp(nw, nh, lambda x, y: ngrid[y][x])
+                    )
+                    ow.append(w), oh.append(h), nws.append(rw), nhs.append(rh)
+                else:
+                    m = decode_media(p, fake=True)
+                    ow.append(m["fake_width"]), oh.append(m["fake_height"])
+                    nws.append(int(m["fake_width"] * scale))
+                    nhs.append(int(m["fake_height"] * scale))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "orig_width": [m["fake_width"] for m in metas],
-                    "orig_height": [m["fake_height"] for m in metas],
-                    "new_width": [int(m["fake_width"] * scale) for m in metas],
-                    "new_height": [int(m["fake_height"] * scale) for m in metas],
+                    "orig_width": ow,
+                    "orig_height": oh,
+                    "new_width": nws,
+                    "new_height": nhs,
                 }
             )
 
     return df.select(id_col, payload_col).mapInPandas(op, schema=RESIZE_SCHEMA)
+
+
+BMP_AUDIT_SCHEMA = (
+    "doc_id bigint, width int, height int, new_width int, new_height int, "
+    "pixel_sum bigint"
+)
+
+
+@register(
+    "bmp_roundtrip_audit",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(1 + doc_id % 16 AS INT) AS width,
+                   CAST(1 + (doc_id // 16) % 16 AS INT) AS height
+            FROM documents
+        ),
+        rdims AS (
+            SELECT doc_id, width, height,
+                   CAST(GREATEST(1, width // 2) AS INT) AS new_width,
+                   CAST(GREATEST(1, height // 2) AS INT) AS new_height
+            FROM dims
+        ),
+        ex AS (
+            SELECT doc_id, width, height, new_width, new_height,
+                   unnest(range(0, new_width)) AS x
+            FROM rdims
+        ),
+        ey AS (
+            SELECT doc_id, width, height, new_width, new_height, x,
+                   unnest(range(0, new_height)) AS y
+            FROM ex
+        )
+        SELECT doc_id, width, height, new_width, new_height,
+               CAST(SUM((doc_id + 6 * x + 14 * y) % 256
+                      + (doc_id + 10 * x + 22 * y) % 256
+                      + (doc_id + 2 * x + 26 * y) % 256) AS BIGINT)
+                   AS pixel_sum
+        FROM ey
+        GROUP BY doc_id, width, height, new_width, new_height
+        ORDER BY doc_id
+    """,
+    doc="END-TO-END image decode audit on the pure-stdlib BMP codec: "
+    "per doc, synthesize a real 24-bit BMP (dims and pixels derived "
+    "from doc_id), DECODE it, nearest-neighbor resize 0.5x, re-encode, "
+    "re-decode, and report the dimensions plus the BGR pixel sum of "
+    "the re-decoded resized file. Every reported value has passed "
+    "through actual BMP bytes twice (padding, bottom-up rows, header "
+    "offsets), while staying relationally replayable: resized pixel "
+    "(x,y) is source pixel (2x,2y), so the oracle reproduces the sum "
+    "from the generation formula alone. Arrow-batched mapInPandas, "
+    "zero shuffle, payloads never leave executors.",
+    tags=("multimodal", "udf", "extension"),
+)
+def bmp_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "new_width": [], "new_height": [], "pixel_sum": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 1 + did % 16, 1 + (did // 16) % 16
+
+                def pix(x: int, y: int, _d: int = did) -> tuple[int, int, int]:
+                    return (
+                        (_d + 3 * x + 7 * y) % 256,
+                        (_d + 5 * x + 11 * y) % 256,
+                        (_d + x + 13 * y) % 256,
+                    )
+
+                payload = encode_bmp(w, h, pix)
+                dw, dh, grid = decode_bmp(payload)
+                nw, nh, ngrid = resize_nearest(dw, dh, grid, 0.5)
+                rw, rh, rgrid = decode_bmp(
+                    encode_bmp(nw, nh, lambda x, y: ngrid[y][x])
+                )
+                out["doc_id"].append(did)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["new_width"].append(rw)
+                out["new_height"].append(rh)
+                out["pixel_sum"].append(
+                    sum(c for row in rgrid for px_ in row for c in px_)
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        d.select("doc_id").mapInPandas(op, schema=BMP_AUDIT_SCHEMA).orderBy("doc_id")
+    )
 
 
 @register(

@@ -62,6 +62,8 @@ def register(
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 7 (no driver row ever) --------------------------
     "incremental_dedup",
+    "bpe_learn",
+    "bmp_roundtrip_audit",
     # -- newest driver row is r4-era (absent from r05 AND r06) --------
     "doc_quality",
     "lang_id",

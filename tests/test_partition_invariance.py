@@ -26,6 +26,7 @@ REPRESENTATIVES = (
     "bm25_topk",            # fixed-order per-term score sum
     "ann_pq_topk",          # argmin encode + ADC lookup sum
     "incremental_dedup",    # frozen-index scan + delta banding join
+    "bpe_learn",            # iterative argmax + fold re-segmentation
 )
 
 

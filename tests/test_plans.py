@@ -179,9 +179,10 @@ def test_outer_join_sides_preaggregated(spark, sf_dir):
 
 # Queries whose WHOLE POINT is an Arrow-batched Python stage
 _PYTHON_BY_DESIGN = {
-    "multimodal_meta",    # mapInPandas decode plumbing
-    "multimodal_frames",  # mapInPandas 1->N
-    "user_value_trend",   # applyInPandas grouped model
+    "multimodal_meta",       # mapInPandas decode plumbing
+    "multimodal_frames",     # mapInPandas 1->N
+    "user_value_trend",      # applyInPandas grouped model
+    "bmp_roundtrip_audit",   # mapInPandas real BMP decode/resize/encode
 }
 _PY_MARKERS = (
     "BatchEvalPython",  # row-at-a-time Python UDF — never acceptable
