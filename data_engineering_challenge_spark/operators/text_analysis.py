@@ -840,3 +840,86 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "bm25_score", "n_matched_terms", "rnk")
         .orderBy("rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage / OOV audit (round 7). build_vocab answers "how
+# big must the vocab be for X% coverage" globally; this is the
+# per-SOURCE acceptance gate a tokenizer freeze runs next: with the
+# top-K vocabulary fixed, what fraction of each source's token
+# occurrences falls out-of-vocabulary? A source with an outlier OOV
+# rate (code, another language, boilerplate markup) either needs vocab
+# budget or a cleaning pass before training.
+
+OOV_VOCAB_K = 1000  # frozen-vocab size for the audit (= VOCAB_TOP_K)
+
+
+@register(
+    "vocab_coverage_audit",
+    oracle=f"""
+        WITH tk AS (
+            SELECT source, t.token
+            FROM (SELECT source, unnest({_TOK_SQL}) AS token FROM documents) t
+            WHERE t.token <> ''
+        ),
+        vocab AS (
+            SELECT token FROM (
+                SELECT token, COUNT(*) AS tf
+                FROM tk GROUP BY token
+                ORDER BY tf DESC, token
+                LIMIT {OOV_VOCAB_K}
+            )
+        )
+        SELECT tk.source,
+               COUNT(*) AS n_tokens,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_oov,
+               CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+                   / COUNT(*) AS oov_rate
+        FROM tk LEFT JOIN vocab v USING (token)
+        GROUP BY tk.source
+        ORDER BY tk.source
+    """,
+    doc=f"Per-source OOV audit against the frozen top-{OOV_VOCAB_K} "
+    "vocabulary (ties broken lexicographically, the same deterministic "
+    "cut on both engines): token count, OOV count, OOV rate. The "
+    "vocabulary is TakeOrdered over the token-keyed partial aggregate "
+    "(vocabulary-sized shuffle) and broadcasts to the corpus-side "
+    "probe join, so the corpus shuffles once on source only — at "
+    "100 TB the audit costs one tokenize scan plus a broadcast probe. "
+    "oov_rate is one exact-integer division, engine-exact.",
+    tags=("text", "profiling", "extension"),
+)
+def vocab_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
+    tk = (
+        d.select("source", normalize_text(F.col("text")).alias("nrm"))
+        .select("source", F.explode(F.split("nrm", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    vocab = (
+        tk.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .orderBy(F.desc("tf"), F.asc("token"))
+        .limit(OOV_VOCAB_K)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    return (
+        tk.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            (F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_rate"),
+        )
+        .orderBy("source")
+    )

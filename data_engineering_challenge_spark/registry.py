@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "incremental_dedup",
     "bpe_learn",
     "bmp_roundtrip_audit",
+    "vocab_coverage_audit",
     # -- newest driver row is r4-era (absent from r05 AND r06) --------
     "doc_quality",
     "lang_id",
