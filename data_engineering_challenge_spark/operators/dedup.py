@@ -633,6 +633,36 @@ def build_minhash_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int
     return write_snapshot(sig, table_dir)
 
 
+def row_minhash_signature(grams_col):
+    """array<long>[16] MinHash signature computed ENTIRELY per-row —
+    the streaming-safe twin of :func:`_minhash_signatures`. The batch
+    path explodes grams and groupBy-aggregates 16 minima; under
+    readStream that would be a stateful aggregation. Per-row, the same
+    minima are array_min over per-gram digest slices: the digests are
+    staged once in a transform (so sha256 runs twice per gram, exactly
+    like the batch path), then each of the 16 slices takes its min.
+    Identical values by construction — pinned against the batch
+    signatures in tests."""
+    ds = F.transform(
+        grams_col,
+        lambda g: F.struct(
+            F.sha2(g.cast("binary"), 256).alias("d1"),
+            F.sha2(F.concat(F.lit("x:"), g).cast("binary"), 256).alias("d2"),
+        ),
+    )
+
+    def mh(j: int, staged):
+        src = "d1" if j < _MH_SLICES_PER_DIGEST else "d2"
+        off = (j % _MH_SLICES_PER_DIGEST) * 8 + 1
+        return F.array_min(
+            F.transform(
+                staged, lambda s: F.conv(F.substring(s[src], off, 8), 16, 10).cast("long")
+            )
+        )
+
+    return F.array(*[mh(j, ds) for j in range(NUM_MINHASH)])
+
+
 def _band_hashes_col():
     rows_per_band = NUM_MINHASH // MINHASH_BANDS
     return F.array(

@@ -374,3 +374,85 @@ def user_totals_tws_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             timeMode="None",
         )
     )
+
+
+def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup: NEW documents stream through a
+    stream-static band join against the FROZEN MinHash index — the
+    landing-zone filter in front of a training corpus ("is this
+    incoming doc a near-dup of anything we already hold?").
+
+    Stateless by construction: per-doc signatures are computed with
+    row-level array expressions (operators/dedup.py
+    row_minhash_signature — no explode/groupBy, so no state store),
+    bands explode 4 rows per doc, and the join's static side is the
+    snapshot-derived band table with the hot-bucket cap applied at
+    index-freeze time (corpus bucket sizes; a streaming engine cannot
+    see union sizes without state — delta-delta pairs within the
+    stream are likewise out of scope, that's the batch
+    incremental_dedup's job). Anchored in tests: the streamed pairs
+    equal the batch incremental_dedup output restricted to
+    corpus-delta pairs."""
+    from ..operators.dedup import (
+        INCR_DELTA_FROM,
+        MAX_BAND_BUCKET,
+        NUM_MINHASH,
+        _band_hashes_col,
+        _incr_bucket,
+        build_minhash_index,
+        minhash_index_dir,
+        row_minhash_signature,
+    )
+    from ..functions.text import tokens, word_ngrams
+    from ..sinks.versioned import read_snapshot
+    from pyspark.sql import Window as W
+
+    table_dir = minhash_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(table_dir, "manifest.json")):
+        build_minhash_index(spark, sf_dir, table_dir)
+    corpus_sig = read_snapshot(spark, table_dir)
+    corpus_bands = (
+        corpus_sig.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("s").alias("s_a"),
+            F.posexplode(_band_hashes_col()).alias("b", "bh"),
+        )
+        .withColumn("bsz", F.count(F.lit(1)).over(W.partitionBy("b", "bh")))
+        .filter(F.col("bsz") <= MAX_BAND_BUCKET)
+        .drop("bsz")
+    )
+    # static side is re-read per micro-batch: persist the capped band
+    # table once (at 100 TB this is the stored-signature scan, not a
+    # corpus scan — ~136 B/doc plus 4 band rows)
+    corpus_bands.persist()
+
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir_for(f"{sf_dir}/documents.parquet", schema.simpleString()))
+    )
+    delta = raw.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
+    grams = F.array_distinct(word_ngrams(tokens(F.col("text")), 3))
+    delta_sig = (
+        delta.select("doc_id", grams.alias("g"))
+        .filter(F.size("g") > 0)
+        .select("doc_id", row_minhash_signature(F.col("g")).alias("s"))
+    )
+    delta_bands = delta_sig.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("s").alias("s_b"),
+        F.posexplode(_band_hashes_col()).alias("b", "bh"),
+    )
+    eq = F.zip_with("s_a", "s_b", lambda x, y: (x == y).cast("int"))
+    est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(NUM_MINHASH)
+    return (
+        delta_bands.join(corpus_bands, ["b", "bh"])
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+        # a doc's 4 band rows arrive in one micro-batch, so duplicates
+        # are same-batch only (multi-band hits); the dedup state is one
+        # row per EMITTED near-dup pair — output-cardinality-bounded,
+        # not input-bounded
+        .dropDuplicates(["doc_a", "doc_b"])
+    )

@@ -362,3 +362,91 @@ def test_incremental_rollup_restart_is_idempotent(spark, sf_dir, tmp_path):
     run_incremental_rollup(spark, sf_dir, rollup, ckpt)  # restart, no new data
     second = sorted(map(tuple, spark.read.parquet(rollup).collect()))
     assert first == second and len(first) > 0
+
+
+def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path, monkeypatch):
+    """The landing-zone near-dup filter: streamed delta docs joined
+    against the frozen MinHash index emit exactly the corpus-delta
+    pairs the batch incremental_dedup finds (delta-delta pairs are the
+    batch path's job — a stateless stream cannot self-join)."""
+    import hashlib as _hl
+
+    import pandas as pd
+
+    from data_engineering_challenge_spark.operators.dedup import (
+        INCR_DELTA_BUCKETS,
+        INCR_DELTA_FROM,
+        incremental_dedup,
+    )
+    from data_engineering_challenge_spark.streaming.pipelines import (
+        incremental_dedup_stream,
+    )
+
+    def bucket(doc_id: int) -> int:
+        return int(_hl.md5(f"inc:{doc_id}".encode()).hexdigest()[:8], 16) % INCR_DELTA_BUCKETS
+
+    corpus_ids = [i for i in range(400) if bucket(i) < INCR_DELTA_FROM]
+    delta_ids = [i for i in range(400) if bucket(i) >= INCR_DELTA_FROM]
+    base = (
+        "the quick brown fox jumps over the lazy dog by the river bank "
+        "while the sun sets slowly behind the old stone bridge tonight"
+    )
+    rows = [
+        {"doc_id": corpus_ids[0], "text": base + " variant one"},
+        {"doc_id": corpus_ids[1], "text": base + " variant two"},
+        {"doc_id": delta_ids[0], "text": base + " variant one"},
+        {"doc_id": delta_ids[1], "text": base.replace("fox", "wolf")},
+        {"doc_id": delta_ids[2], "text": base.replace("fox", "wolf") + " x"},
+    ]
+    root = tmp_path / "lz"
+    root.mkdir()
+    pd.DataFrame(rows).to_parquet(root / "documents.parquet", index=False)
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+
+    batch = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in incremental_dedup(spark, str(root)).collect()
+    }
+    delta_set = set(delta_ids)
+    batch_cross = {
+        k: v for k, v in batch.items() if not (k[0] in delta_set and k[1] in delta_set)
+    }
+    # the fixture must exercise both shapes: a corpus-delta hit and a
+    # delta-delta pair the stream legitimately does NOT emit
+    assert batch_cross, batch
+    assert len(batch) > len(batch_cross), batch
+
+    s = incremental_dedup_stream(spark, str(root))
+    run_stream_to_memory(s, "incr_dedup_out", mode="append")
+    got = {
+        (r.doc_a, r.doc_b): r.est_jaccard
+        for r in spark.sql("SELECT * FROM incr_dedup_out").collect()
+    }
+    assert got == batch_cross
+
+
+def test_row_minhash_signature_matches_batch_signatures(spark, sf_dir):
+    """The per-row (streaming-safe) signature must be bit-identical to
+    the explode+groupBy batch signature on every doc in the fixture."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.catalog import load_table
+    from data_engineering_challenge_spark.functions.text import tokens, word_ngrams
+    from data_engineering_challenge_spark.operators.dedup import (
+        _minhash_signatures,
+        row_minhash_signature,
+    )
+
+    batch = {
+        r.doc_id: tuple(r.s) for r in _minhash_signatures(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(word_ngrams(tokens(F.col("text")), 3))
+    rowwise = {
+        r.doc_id: tuple(r.s)
+        for r in d.select("doc_id", grams.alias("g"))
+        .filter(F.size("g") > 0)
+        .select("doc_id", row_minhash_signature(F.col("g")).alias("s"))
+        .collect()
+    }
+    assert rowwise == batch
