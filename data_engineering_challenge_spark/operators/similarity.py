@@ -1079,3 +1079,123 @@ def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("err", 0.9).alias("p90_err"),
         F.max("err").alias("max_err"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Truncated-dimension recall audit (round 7). The cheapest ANN lever
+# at 100 TB is not a better index — it is fewer dimensions: scoring on
+# a 16-dim prefix cuts memory traffic 4× before IVF/PQ even start (and
+# Matryoshka-style models train so prefixes stay meaningful). Before a
+# deployment flips that switch it needs the recall number: how much of
+# the TRUE full-dim top-k does prefix scoring keep?
+
+TRUNC_DIM = 16
+_DOT16_SQL = "list_sum(list_transform(range(1, 17), i -> {a}[i] * {b}[i]))"
+
+
+@register(
+    "truncated_ann_recall",
+    oracle=f"""
+        WITH e AS ({_CORPUS_SQL}),
+        et AS (
+            SELECT vec_id, v,
+                   sqrt({_DOT16_SQL.format(a='v', b='v')}) AS nrm16
+            FROM e
+        ),
+        q AS (SELECT * FROM e WHERE vec_id % {QUERY_MOD} = 0),
+        qt AS (SELECT * FROM et WHERE vec_id % {QUERY_MOD} = 0),
+        fk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY {_DOT_SQL.format(a='q.v', b='e.v')}
+                                    / (q.nrm * e.nrm) DESC, e.vec_id
+                       ) AS rnk
+                FROM q JOIN e ON q.vec_id <> e.vec_id
+            ) WHERE rnk <= {TOP_K}
+        ),
+        tk AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT qt.vec_id AS query_id, et.vec_id AS neighbor_id,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qt.vec_id
+                           ORDER BY {_DOT16_SQL.format(a='qt.v', b='et.v')}
+                                    / (qt.nrm16 * et.nrm16) DESC, et.vec_id
+                       ) AS rnk
+                FROM qt JOIN et ON qt.vec_id <> et.vec_id
+            ) WHERE rnk <= {TOP_K}
+        ),
+        matches AS (
+            SELECT f.query_id, COUNT(*) AS m
+            FROM fk f JOIN tk t
+              ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+            GROUP BY 1
+        ),
+        qs AS (SELECT vec_id AS query_id FROM e WHERE vec_id % {QUERY_MOD} = 0)
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+               CASE WHEN COUNT(*) > 0 THEN
+                   CAST(SUM(COALESCE(m, 0)) AS DOUBLE) / ({TOP_K} * COUNT(*))
+               END AS mean_recall,
+               CASE WHEN COUNT(*) > 0 THEN
+                   CAST(MIN(COALESCE(m, 0)) AS DOUBLE) / {TOP_K}
+               END AS min_recall
+        FROM qs LEFT JOIN matches USING (query_id)
+    """,
+    doc=f"Recall audit for prefix-truncated embeddings: brute-force "
+    f"top-{TOP_K} on the first {TRUNC_DIM} of {DIM} dims vs the "
+    f"full-dim top-{TOP_K} (identical tie-breaks), reported as "
+    "mean/min recall over the query subset. One corpus scan computes "
+    "both scores (queries broadcast); mean_recall is a single "
+    "exact-integer division, engine-exact. The go/no-go number before "
+    "trading 4x memory traffic for recall at the 100 TB tier.",
+    tags=("similarity", "profiling", "extension"),
+)
+def truncated_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_with_norm(spark, sf_dir)
+    v16 = F.slice(F.col("v"), 1, TRUNC_DIM)
+    et = e.select("vec_id", "v", "nrm", v16.alias("v16")).select(
+        "vec_id", "v", "nrm", "v16", norm(F.col("v16")).alias("nrm16")
+    )
+    q = et.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("v16").alias("qv16"),
+        F.col("nrm16").alias("qn16"),
+    )
+    scored = et.join(F.broadcast(q), F.col("query_id") != F.col("vec_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("sim_full"),
+        (
+            dot(F.col("qv16"), F.col("v16")) / (F.col("qn16") * F.col("nrm16"))
+        ).alias("sim_trunc"),
+    )
+    scored = track_persist(scored, StorageLevel.MEMORY_AND_DISK)
+    wf = W.partitionBy("query_id").orderBy(F.desc("sim_full"), F.asc("neighbor_id"))
+    wt = W.partitionBy("query_id").orderBy(F.desc("sim_trunc"), F.asc("neighbor_id"))
+    fk = (
+        scored.withColumn("rnk", F.row_number().over(wf))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    tk = (
+        scored.withColumn("rnk", F.row_number().over(wt))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id")
+    )
+    matches = fk.join(tk, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    qs = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id")
+    )
+    n = F.count(F.lit(1))
+    msum = F.sum(F.coalesce(F.col("m"), F.lit(0)))
+    mmin = F.min(F.coalesce(F.col("m"), F.lit(0)))
+    return qs.join(matches, "query_id", "left").agg(
+        n.cast("bigint").alias("n_queries"),
+        F.when(n > 0, msum.cast("double") / (TOP_K * n)).alias("mean_recall"),
+        F.when(n > 0, mmin.cast("double") / TOP_K).alias("min_recall"),
+    )
