@@ -1185,16 +1185,18 @@ def truncated_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id")
     )
-    matches = fk.join(tk, ["query_id", "neighbor_id"]).groupBy("query_id").agg(
-        F.count(F.lit(1)).alias("m")
-    )
+    # fk/tk/matches are |Q| x TOP_K rows — broadcast them so the
+    # intersection and the final left join never shuffle
+    matches = fk.join(F.broadcast(tk), ["query_id", "neighbor_id"]).groupBy(
+        "query_id"
+    ).agg(F.count(F.lit(1)).alias("m"))
     qs = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id")
     )
     n = F.count(F.lit(1))
     msum = F.sum(F.coalesce(F.col("m"), F.lit(0)))
     mmin = F.min(F.coalesce(F.col("m"), F.lit(0)))
-    return qs.join(matches, "query_id", "left").agg(
+    return qs.join(F.broadcast(matches), "query_id", "left").agg(
         n.cast("bigint").alias("n_queries"),
         F.when(n > 0, msum.cast("double") / (TOP_K * n)).alias("mean_recall"),
         F.when(n > 0, mmin.cast("double") / TOP_K).alias("min_recall"),

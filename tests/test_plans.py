@@ -216,6 +216,7 @@ _BNLJ_BY_DESIGN = {
     "build_vocab",            # 1-row total-token-count frame
     "session_gap_profile",    # 1-row total-gap-count frame
     "funnel_conversion",      # 1-row x 1-row count frames
+    "truncated_ann_recall",   # broadcast query batch x corpus scan (ann_topk twin)
 }
 
 
