@@ -376,23 +376,13 @@ def user_totals_tws_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Streaming incremental dedup: NEW documents stream through a
-    stream-static band join against the FROZEN MinHash index — the
-    landing-zone filter in front of a training corpus ("is this
-    incoming doc a near-dup of anything we already hold?").
-
-    Stateless by construction: per-doc signatures are computed with
-    row-level array expressions (operators/dedup.py
-    row_minhash_signature — no explode/groupBy, so no state store),
-    bands explode 4 rows per doc, and the join's static side is the
-    snapshot-derived band table with the hot-bucket cap applied at
-    index-freeze time (corpus bucket sizes; a streaming engine cannot
-    see union sizes without state — delta-delta pairs within the
-    stream are likewise out of scope, that's the batch
-    incremental_dedup's job). Anchored in tests: the streamed pairs
-    equal the batch incremental_dedup output restricted to
-    corpus-delta pairs."""
+def landing_dedup_transform(
+    spark: SparkSession, sf_dir: str, raw: DataFrame
+) -> DataFrame:
+    """The landing-zone near-dup filter as a transform over an
+    arbitrary documents stream `raw` — shared by the registered
+    pipeline below and tools/stream_bench.py. See
+    incremental_dedup_stream for semantics."""
     from ..operators.dedup import (
         INCR_DELTA_FROM,
         MAX_BAND_BUCKET,
@@ -426,12 +416,6 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus scan — ~136 B/doc plus 4 band rows)
     corpus_bands.persist()
 
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(_stream_dir_for(f"{sf_dir}/documents.parquet", schema.simpleString()))
-    )
     delta = raw.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
     grams = F.array_distinct(word_ngrams(tokens(F.col("text")), 3))
     delta_sig = (
@@ -456,3 +440,29 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         # not input-bounded
         .dropDuplicates(["doc_a", "doc_b"])
     )
+
+
+def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming incremental dedup: NEW documents stream through a
+    stream-static band join against the FROZEN MinHash index — the
+    landing-zone filter in front of a training corpus ("is this
+    incoming doc a near-dup of anything we already hold?").
+
+    Stateless by construction: per-doc signatures are computed with
+    row-level array expressions (operators/dedup.py
+    row_minhash_signature — no explode/groupBy, so no state store),
+    bands explode 4 rows per doc, and the join's static side is the
+    snapshot-derived band table with the hot-bucket cap applied at
+    index-freeze time (corpus bucket sizes; a streaming engine cannot
+    see union sizes without state — delta-delta pairs within the
+    stream are likewise out of scope, that's the batch
+    incremental_dedup's job). Anchored in tests: the streamed pairs
+    equal the batch incremental_dedup output restricted to
+    corpus-delta pairs."""
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir_for(f"{sf_dir}/documents.parquet", schema.simpleString()))
+    )
+    return landing_dedup_transform(spark, sf_dir, raw)
