@@ -349,3 +349,12 @@ def test_q18_having_runs_before_customer_join(spark, sf_dir):
     (scan,) = scans_of(plan, "lineitem")
     assert read_columns(scan) == {"l_orderkey", "l_quantity"}
     assert "TakeOrderedAndProject" in plan
+
+
+def test_vocab_coverage_broadcasts_vocab_probe(spark, sf_dir):
+    """The frozen top-K vocabulary must broadcast into the corpus-side
+    probe join — a shuffled join here would re-shuffle the exploded
+    corpus tokens on the token key at 100 TB."""
+    plan = _plan(spark, sf_dir, "vocab_coverage_audit")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
