@@ -880,3 +880,73 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
         .orderBy("doc_a", "doc_b")
     )
+
+
+@register(
+    "dedup_source_matrix",
+    oracle=f"""
+        WITH {_MINHASH_CAND_SQL},
+        est AS (
+            SELECT doc_a, doc_b FROM (
+                SELECT doc_a, doc_b,
+                       len(list_filter(range(1, {NUM_MINHASH + 1}),
+                                       i -> sa.s[i] = sb.s[i])) / {NUM_MINHASH}.0
+                           AS est_jaccard
+                FROM cand
+                JOIN sig sa ON sa.doc_id = doc_a
+                JOIN sig sb ON sb.doc_id = doc_b
+            ) WHERE est_jaccard >= 0.5
+        ),
+        lab AS (
+            SELECT LEAST(da.source, db.source) AS source_a,
+                   GREATEST(da.source, db.source) AS source_b
+            FROM est e
+            JOIN documents da ON da.doc_id = e.doc_a
+            JOIN documents db ON db.doc_id = e.doc_b
+        )
+        SELECT source_a, source_b, COUNT(*) AS n_pairs
+        FROM lab
+        GROUP BY source_a, source_b
+        ORDER BY n_pairs DESC, source_a, source_b
+    """,
+    doc="Cross-source near-dup contamination matrix: the MinHash pair "
+    "set (est_jaccard >= 0.5, shared candidate head with "
+    "minhash_lsh_pairs) rolled up by unordered source pair — the "
+    "provenance report that tells a pipeline WHICH feeds duplicate "
+    "each other (mirror sites, scraped re-posts) before dedup budgets "
+    "are assigned. Pairs are tiny relative to the corpus, so both "
+    "source-label lookups broadcast the pair side against one pruned "
+    "(doc_id, source) scan each; the matrix is |sources|^2-bounded.",
+    tags=("dedup", "lsh", "profiling", "extension"),
+)
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _minhash_signatures(spark, sf_dir)
+    cand = _lsh_candidates(sig)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    eq = F.zip_with("s_a", "s_b", lambda x, y: (x == y).cast("int"))
+    est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(NUM_MINHASH)
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        .filter(F.col("est_jaccard") >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        src.withColumnsRenamed({"doc_id": "doc_a", "source": "src_a"})
+        .join(F.broadcast(pairs), "doc_a")
+    )
+    labeled = src.withColumnsRenamed({"doc_id": "doc_b", "source": "src_b"}).join(
+        F.broadcast(labeled), "doc_b"
+    )
+    return (
+        labeled.select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), F.asc("source_a"), F.asc("source_b"))
+    )

@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bmp_roundtrip_audit",
     "vocab_coverage_audit",
     "truncated_ann_recall",
+    "dedup_source_matrix",
     # -- newest driver row is r4-era (absent from r05 AND r06) --------
     "doc_quality",
     "lang_id",

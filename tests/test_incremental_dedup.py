@@ -122,3 +122,20 @@ def test_index_reused_not_rebuilt(spark, straddle_corpus_dir, tmp_path, monkeypa
     incremental_dedup(spark, straddle_corpus_dir).collect()
     m2 = json.load(open(os.path.join(table_dir, "manifest.json")))
     assert m1 == m2 == {"latest": 1, "versions": [1]}
+
+
+def test_index_fingerprint_tracks_source_mtime(tmp_path, monkeypatch):
+    """A regenerated documents file (new mtime/size) must resolve to a
+    DIFFERENT index dir — serving a stale index for changed data is the
+    one failure mode a fingerprinted path exists to prevent."""
+    import pandas as pd
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    root = tmp_path / "corpus"
+    root.mkdir()
+    f = root / "documents.parquet"
+    pd.DataFrame([{"doc_id": 1, "text": "a b c"}]).to_parquet(f, index=False)
+    d1 = minhash_index_dir(str(root))
+    os.utime(f, (1_700_000_000, 1_700_000_000))
+    d2 = minhash_index_dir(str(root))
+    assert d1 != d2
