@@ -262,3 +262,73 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("cluster_id"),
         (F.col("node") == F.col("component")).alias("is_canonical"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_retention_plan",
+    oracle=f"""
+        WITH n AS (
+            SELECT doc_id, n_chars, {_NORM_SQL} AS norm FROM documents
+        ),
+        f AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN length(norm) >= 8 THEN
+                       list_min(list_transform(range(1, length(norm) - 6),
+                                i -> md5(norm[i:i+7])))
+                   ELSE md5(norm) END AS msf
+            FROM n
+        ),
+        c AS (
+            SELECT doc_id, n_chars,
+                   CASE WHEN msf IS NULL THEN doc_id
+                        ELSE MIN(doc_id) OVER (PARTITION BY msf) END AS cluster_id
+            FROM f
+        )
+        SELECT cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               first(doc_id ORDER BY n_chars DESC, doc_id) AS keep_id,
+               CAST(SUM(n_chars)
+                    - first(n_chars ORDER BY n_chars DESC, doc_id) AS BIGINT)
+                   AS bytes_saved
+        FROM c
+        GROUP BY cluster_id
+        HAVING COUNT(*) >= 2
+        ORDER BY cluster_id
+    """,
+    doc="The dedup RETENTION plan: for every near-dup cluster (same "
+    "connected components as dedup_clusters — min-label propagation "
+    "over the fp/msf bipartite graph), pick the copy to KEEP by a "
+    "policy (longest doc wins, ties to the lowest doc_id) and report "
+    "the bytes freed by dropping the rest — the actionable output a "
+    "dedup pass hands to the corpus writer, vs dedup_clusters' "
+    "min-id canonical labeling. The selection is a partial-aggregable "
+    "max_by over a (n_chars, -doc_id) struct (one shuffle on "
+    "cluster_id, no window over raw docs); the oracle replays the "
+    "clustering through the edge relation's algebraic shortcut "
+    "(see dedup_clusters' oracle note) and the same ordered-first "
+    "policy.",
+    tags=("dedup", "graph", "extension"),
+)
+def dedup_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    best = F.max(
+        F.struct(F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("nd"))
+    )
+    return (
+        cl.join(d, "doc_id")
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            best.alias("b"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "cluster_id",
+            "n_docs",
+            (-F.col("b.nd")).cast("bigint").alias("keep_id"),
+            (F.col("total_chars") - F.col("b.nc")).cast("bigint").alias("bytes_saved"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "vocab_coverage_audit",
     "truncated_ann_recall",
     "dedup_source_matrix",
+    "dedup_retention_plan",
     # -- newest driver row is r4-era (absent from r05 AND r06) --------
     "doc_quality",
     "lang_id",
