@@ -37,6 +37,9 @@ TEXT_QUERIES = [
     "clean_corpus", "exact_dedup", "tfidf_top_terms", "doc_sentences",
     "bpe_token_counts", "stable_split", "ngram_jaccard_pairs",
     "simhash_pairs", "dedup_clusters",
+    # round 7
+    "bpe_learn", "vocab_coverage_audit", "dedup_retention_plan",
+    "minhash_lsh_pairs", "dedup_source_matrix",
 ]
 
 
