@@ -27,6 +27,7 @@ REPRESENTATIVES = (
     "ann_pq_topk",          # argmin encode + ADC lookup sum
     "incremental_dedup",    # frozen-index scan + delta banding join
     "bpe_learn",            # iterative argmax + fold re-segmentation
+    "dedup_retention_plan", # CC labels + max_by retention policy
 )
 
 
