@@ -933,13 +933,19 @@ def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= 0.5)
         .select("doc_a", "doc_b")
     )
+    # NO static broadcast hint on the pair side: pairs are SF-scaled
+    # (bucket-capped but linear in corpus on boilerplate-heavy feeds),
+    # and a hint bypasses Spark's 8 GiB broadcast ceiling — the exact
+    # scale-killer the round-6 sf100 probe caught on salted_join. AQE
+    # converts these to broadcast at runtime whenever the pair side is
+    # actually small (asserted at test SF in the executed plan).
     src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     labeled = (
         src.withColumnsRenamed({"doc_id": "doc_a", "source": "src_a"})
-        .join(F.broadcast(pairs), "doc_a")
+        .join(pairs, "doc_a")
     )
     labeled = src.withColumnsRenamed({"doc_id": "doc_b", "source": "src_b"}).join(
-        F.broadcast(labeled), "doc_b"
+        labeled, "doc_b"
     )
     return (
         labeled.select(

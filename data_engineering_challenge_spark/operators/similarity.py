@@ -1185,19 +1185,34 @@ def truncated_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TOP_K)
         .select("query_id", "neighbor_id")
     )
-    # fk/tk/matches are |Q| x TOP_K rows — broadcast them so the
-    # intersection and the final left join never shuffle
-    matches = fk.join(F.broadcast(tk), ["query_id", "neighbor_id"]).groupBy(
+    # fk/tk/matches are |Q| x TOP_K rows. |Q| is corpus/QUERY_MOD —
+    # SF-scaled — so these carry NO static broadcast hint (a hint
+    # bypasses the 8 GiB ceiling; the round-6 lesson). The
+    # intersection join AQE-broadcasts at runtime; the zero-match
+    # queries the oracle's LEFT JOIN accounts for are folded in
+    # arithmetically instead (matched-query count vs total-query
+    # count), so the final combine is a 1-row x 1-row bounds join —
+    # nothing |Q|-sized moves after the windows.
+    matches = fk.join(tk, ["query_id", "neighbor_id"]).groupBy(
         "query_id"
     ).agg(F.count(F.lit(1)).alias("m"))
-    qs = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id")
+    nq_row = (
+        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nq"))
     )
-    n = F.count(F.lit(1))
-    msum = F.sum(F.coalesce(F.col("m"), F.lit(0)))
-    mmin = F.min(F.coalesce(F.col("m"), F.lit(0)))
-    return qs.join(F.broadcast(matches), "query_id", "left").agg(
-        n.cast("bigint").alias("n_queries"),
-        F.when(n > 0, msum.cast("double") / (TOP_K * n)).alias("mean_recall"),
-        F.when(n > 0, mmin.cast("double") / TOP_K).alias("min_recall"),
+    m_row = matches.agg(
+        F.count(F.lit(1)).alias("nm"),
+        F.sum("m").alias("sm"),
+        F.min("m").alias("mn"),
+    )
+    nq = F.col("nq")
+    # min over ALL queries: 0 whenever some query had no surviving match
+    mmin = F.when(F.col("nm") < nq, F.lit(0)).otherwise(F.col("mn"))
+    return nq_row.crossJoin(F.broadcast(m_row)).select(
+        nq.alias("n_queries"),
+        F.when(
+            nq > 0,
+            F.coalesce(F.col("sm"), F.lit(0)).cast("double") / (TOP_K * nq),
+        ).alias("mean_recall"),
+        F.when(nq > 0, mmin.cast("double") / TOP_K).alias("min_recall"),
     )

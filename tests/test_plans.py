@@ -358,3 +358,21 @@ def test_vocab_coverage_broadcasts_vocab_probe(spark, sf_dir):
     plan = _plan(spark, sf_dir, "vocab_coverage_audit")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+@pytest.mark.parametrize("name", ["dedup_source_matrix", "truncated_ann_recall"])
+def test_sf_scaled_small_frames_broadcast_via_aqe_not_hints(spark, sf_dir, name):
+    """The pair / per-query-top-k frames in these queries are SF-SCALED,
+    so they carry no static broadcast hint (a hint bypasses the 8 GiB
+    ceiling — the round-6 salted_join lesson). This asserts AQE still
+    makes the broadcast at runtime while the frames are genuinely
+    small: no live SortMergeJoin survives in the final adaptive plan."""
+    from data_engineering_challenge_spark.plans import (
+        executed_adaptive_plan,
+        live_operator_count,
+    )
+
+    q = registry.all_queries()[name].fn(spark, sf_dir)
+    final = executed_adaptive_plan(q)
+    assert "isFinalPlan=true" in final
+    assert live_operator_count(final, "SortMergeJoin") == 0
