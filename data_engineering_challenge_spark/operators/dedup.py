@@ -663,6 +663,26 @@ def row_minhash_signature(grams_col):
     return F.array(*[mh(j, ds) for j in range(NUM_MINHASH)])
 
 
+def extend_minhash_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    """Fold the CURRENT delta batch into the frozen index: publish a
+    new snapshot version holding corpus+delta signatures — the nightly
+    lifecycle's closing step (freeze -> dedup delta against index ->
+    fold delta in -> tomorrow's delta dedups against v+1). The corpus
+    side is read from the EXISTING snapshot (never re-tokenized); only
+    the delta pays the signature pipeline. Readers mid-dedup keep v_n
+    (snapshot isolation); rollback to any retained version is
+    metadata-only (sinks/versioned.py)."""
+    from ..sinks.versioned import read_snapshot, write_snapshot
+
+    corpus_sig = read_snapshot(spark, table_dir)
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
+    delta = d.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
+    delta_sig = _minhash_signatures(spark, sf_dir, grams=_grams_of(delta))
+    return write_snapshot(corpus_sig.unionByName(delta_sig), table_dir)
+
+
 def _band_hashes_col():
     rows_per_band = NUM_MINHASH // MINHASH_BANDS
     return F.array(

@@ -139,3 +139,92 @@ def test_index_fingerprint_tracks_source_mtime(tmp_path, monkeypatch):
     os.utime(f, (1_700_000_000, 1_700_000_000))
     d2 = minhash_index_dir(str(root))
     assert d1 != d2
+
+
+def test_extend_index_folds_delta_and_keeps_history(
+    spark, straddle_corpus_dir, tmp_path, monkeypatch
+):
+    """The nightly lifecycle's closing step: folding the delta into the
+    index publishes v2 = corpus+delta signatures (read from the v1
+    snapshot plus one delta pass, never a corpus re-tokenization),
+    while v1 stays readable (snapshot isolation / rollback)."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.operators.dedup import (
+        _minhash_signatures,
+        extend_minhash_index,
+    )
+    from data_engineering_challenge_spark.sinks.versioned import read_snapshot
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx4"))
+    table_dir = minhash_index_dir(straddle_corpus_dir)
+    build_minhash_index(spark, straddle_corpus_dir, table_dir)
+    v2 = extend_minhash_index(spark, straddle_corpus_dir, table_dir)
+    assert v2 == 2
+    # v2 holds exactly the full-corpus signature set
+    full = {
+        r.doc_id: tuple(r.s)
+        for r in _minhash_signatures(spark, straddle_corpus_dir).collect()
+    }
+    got = {r.doc_id: tuple(r.s) for r in read_snapshot(spark, table_dir).collect()}
+    assert got == full
+    # v1 (corpus only) stays readable — strictly smaller
+    v1 = read_snapshot(spark, table_dir, version=1)
+    assert v1.count() < len(full)
+    assert set(
+        r.doc_id for r in v1.collect()
+    ) == {d for d in full if _bucket(d) < INCR_DELTA_FROM}
+
+
+def test_incremental_matches_full_when_cap_binds(spark, tmp_path, monkeypatch):
+    """The union-cap argument under fire: a boilerplate cluster whose
+    band buckets exceed MAX_BAND_BUCKET only in the UNION (corpus part
+    below cap, delta pushes it over). Incremental must apply the
+    union-size cap — dropping those buckets exactly like a full-corpus
+    run — or it would emit pairs the full run suppresses."""
+    import pandas as pd
+
+    from data_engineering_challenge_spark.operators.dedup import MAX_BAND_BUCKET
+
+    corpus_ids = [i for i in range(3000) if _bucket(i) < INCR_DELTA_FROM]
+    delta_ids = [i for i in range(3000) if _bucket(i) >= INCR_DELTA_FROM]
+    boiler = (
+        "this is the standard license header that appears verbatim on "
+        "every generated page of the corpus and carries no signal"
+    )
+    n_corpus_boiler = MAX_BAND_BUCKET - 5   # below cap alone
+    n_delta_boiler = 10                     # union pushes it over
+    rows = [
+        {"doc_id": d, "text": boiler}
+        for d in corpus_ids[:n_corpus_boiler] + delta_ids[:n_delta_boiler]
+    ]
+    # plus one genuine cross pair that must survive
+    rows.append({"doc_id": corpus_ids[-1], "text": BASE + " variant one"})
+    rows.append({"doc_id": delta_ids[-1], "text": BASE + " variant two"})
+    root = tmp_path / "capbind"
+    root.mkdir()
+    pd.DataFrame(rows).to_parquet(root / "documents.parquet", index=False)
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx5"))
+
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(spark, str(root)).collect()
+    }
+    inc = {
+        (r.doc_a, r.doc_b)
+        for r in incremental_dedup(spark, str(root)).collect()
+    }
+    delta_set = set(delta_ids)
+    restricted = {
+        k for k in full if k[0] in delta_set or k[1] in delta_set
+    }
+    assert inc == restricted
+    # the boilerplate bucket really is over-cap in the union: no pair
+    # touches the boilerplate docs on either engine
+    boiler_docs = set(corpus_ids[:n_corpus_boiler] + delta_ids[:n_delta_boiler])
+    assert not any(a in boiler_docs or b in boiler_docs for a, b in inc)
+    # and the genuine cross pair survived
+    assert (
+        min(corpus_ids[-1], delta_ids[-1]),
+        max(corpus_ids[-1], delta_ids[-1]),
+    ) in inc
