@@ -674,7 +674,12 @@ def extend_minhash_index(spark: SparkSession, sf_dir: str, table_dir: str) -> in
     metadata-only (sinks/versioned.py)."""
     from ..sinks.versioned import read_snapshot, write_snapshot
 
-    corpus_sig = read_snapshot(spark, table_dir)
+    # Bucket-filter the snapshot read: a snapshot that already holds a
+    # folded delta (v2+) must not contribute those rows again, or a
+    # second fold would duplicate them. Makes the fold idempotent.
+    corpus_sig = read_snapshot(spark, table_dir).filter(
+        _incr_bucket(F.col("doc_id")) < INCR_DELTA_FROM
+    )
     d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
         load_table(spark, sf_dir, "documents"), spark, "doc_id"
     )
@@ -745,8 +750,17 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_dir = minhash_index_dir(sf_dir)
     if not _os.path.exists(_os.path.join(table_dir, "manifest.json")):
         build_minhash_index(spark, sf_dir, table_dir)
-    corpus_sig = read_snapshot(spark, table_dir).withColumn(
-        "is_delta", F.lit(False)
+    # Restrict the snapshot read to corpus buckets: after
+    # extend_minhash_index folds the delta into v+1, the latest
+    # snapshot ALSO holds delta signatures — unioning them with the
+    # freshly computed delta would double-count (inflated band-bucket
+    # sizes near MAX_BAND_BUCKET, duplicate sa/sb join rows). The
+    # filter is a hash predicate on doc_id — the corpus side is still
+    # never re-tokenized.
+    corpus_sig = (
+        read_snapshot(spark, table_dir)
+        .filter(_incr_bucket(F.col("doc_id")) < INCR_DELTA_FROM)
+        .withColumn("is_delta", F.lit(False))
     )
     d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
         load_table(spark, sf_dir, "documents"), spark, "doc_id"

@@ -51,16 +51,90 @@ def register(
 
 # A correctness harness that samples a prefix of the registry (the
 # driver checks the first ~50) must see the queries with the least
-# accumulated evidence first. Rotated each round; round 7 fronts the
-# 62 queries with no CORRECTNESS_r06 row: new round-7 operators first
-# (no driver row ever), then the 14 absent from BOTH r05 and r06
-# (newest driver rows are r4-era), then the 48 green in r05 but not
-# sampled in r06. The 50 r06-green queries sit past the prefix on
-# fresh evidence, re-covered by the full strict sweeps at
-# sf0.01/sf1/sf10. Pure iteration order - membership and semantics
-# are unchanged.
+# accumulated evidence first. Rotated each round; round 8 fronts the
+# 3 new round-8 operators (no driver row ever), then the 19 queries
+# with no r6 OR r7 driver row (newest evidence is r5-era), then the
+# 50 whose newest row is r6, then the 50 r7-green. A ~50-row prefix
+# therefore refreshes every query older than two rounds, making the
+# r6+r7+r8 union cover all registered queries on <=2-round-old rows.
+# Pure iteration order - membership and semantics are unchanged.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- new in round 7 (no driver row ever) --------------------------
+    # -- new in round 8 (no driver row ever) --------------------------
+    "ann_ivfpq_topk",
+    "bpe_apply",
+    "png_roundtrip_audit",
+    # -- no r6 or r7 driver row (newest evidence is r5) ----------------
+    "orders_with_discounted_lines",
+    "tx_per_store_salted",
+    "segment_event_value_salted",
+    "blamed_suppliers",
+    "approx_quantiles_check",
+    "clicks_asof_purchase",
+    "purchase_click_context",
+    "events_json_extract",
+    "events_props_map",
+    "events_variant_extract",
+    "top3_parts_per_supplier",
+    "revenue_running_total",
+    "events_hourly",
+    "events_sliding_1h30m",
+    "sales_rollup",
+    "daily_revenue_analytics",
+    "events_by_hour_of_day",
+    "priority_price_extremes",
+    "revenue_daily_deltas",
+    # -- newest driver row is r6 ---------------------------------------
+    "decontaminate_split",
+    "repetition_profile",
+    "sample_mixture",
+    "pii_scrub",
+    "pack_sequences",
+    "dedup_savings",
+    "simhash_pairs",
+    "fuzzy_decontaminate",
+    "token_counts",
+    "build_vocab",
+    "bm25_topk",
+    "copurchase_pairs",
+    "rolling_active_users",
+    "daily_value_anomalies",
+    "bigram_merge_candidates",
+    "user_retention_cohorts",
+    "funnel_conversion",
+    "dedup_clusters",
+    "csv_ingest_check",
+    "orders_merge_upsert",
+    "multimodal_meta",
+    "column_stats_orders",
+    "nation_trade_balance",
+    "acctbal_grouping_sets",
+    "small_parts_revenue",
+    "promo_revenue_share",
+    "idle_customers_balance",
+    "ann_topk",
+    "ann_lsh_topk",
+    "embedding_cosine_pairs",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "semantic_dedup",
+    "ivf_cell_purity",
+    "embedding_norm_audit",
+    "ann_pq_topk",
+    "pq_reconstruction_error",
+    "approx_distinct_check",
+    "forecast_revenue_change",
+    "volume_shipping",
+    "nation_market_share",
+    "product_type_profit",
+    "returned_item_customers",
+    "late_shipment_priority",
+    "top_supplier_by_revenue",
+    "large_volume_customers",
+    "brand_size_disjunction_revenue",
+    "sessionize_events",
+    "sessionize_skew_hybrid",
+    "session_gap_profile",
+    # -- newest driver row is r7 (freshest evidence, past the prefix) --
     "incremental_dedup",
     "bpe_learn",
     "bmp_roundtrip_audit",
@@ -68,7 +142,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "truncated_ann_recall",
     "dedup_source_matrix",
     "dedup_retention_plan",
-    # -- newest driver row is r4-era (absent from r05 AND r06) --------
     "doc_quality",
     "lang_id",
     "doc_fingerprint",
@@ -83,7 +156,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "placeholder_discovery",
     "value_format_profile_events",
     "events_session_window",
-    # -- green in r05, not sampled in r06 -----------------------------
     "exact_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
@@ -113,25 +185,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_order_distribution",
     "orders_status_priority_pivot",
     "order_measures_unpivot",
-    "orders_with_discounted_lines",
-    "tx_per_store_salted",
-    "segment_event_value_salted",
-    "blamed_suppliers",
-    "approx_quantiles_check",
-    "clicks_asof_purchase",
-    "purchase_click_context",
-    "events_json_extract",
-    "events_props_map",
-    "events_variant_extract",
-    "top3_parts_per_supplier",
-    "revenue_running_total",
-    "events_hourly",
-    "events_sliding_1h30m",
-    "sales_rollup",
-    "daily_revenue_analytics",
-    "events_by_hour_of_day",
-    "priority_price_extremes",
-    "revenue_daily_deltas",
 )
 
 

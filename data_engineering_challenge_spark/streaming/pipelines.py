@@ -400,7 +400,12 @@ def landing_dedup_transform(
     table_dir = minhash_index_dir(sf_dir)
     if not os.path.exists(os.path.join(table_dir, "manifest.json")):
         build_minhash_index(spark, sf_dir, table_dir)
-    corpus_sig = read_snapshot(spark, table_dir)
+    # corpus buckets only: a folded snapshot (v2+) also holds delta
+    # signatures, which would make the stream match docs against
+    # themselves (same guard as batch incremental_dedup)
+    corpus_sig = read_snapshot(spark, table_dir).filter(
+        _incr_bucket(F.col("doc_id")) < INCR_DELTA_FROM
+    )
     corpus_bands = (
         corpus_sig.select(
             F.col("doc_id").alias("doc_a"),
@@ -413,8 +418,12 @@ def landing_dedup_transform(
     )
     # static side is re-read per micro-batch: persist the capped band
     # table once (at 100 TB this is the stored-signature scan, not a
-    # corpus scan — ~136 B/doc plus 4 band rows)
-    corpus_bands.persist()
+    # corpus scan — ~136 B/doc plus 4 band rows); routed through the
+    # registry ledger so it is unpersisted at the next registered-query
+    # call instead of leaking for the session lifetime
+    from ..registry import track_persist
+
+    corpus_bands = track_persist(corpus_bands)
 
     delta = raw.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
     grams = F.array_distinct(word_ngrams(tokens(F.col("text")), 3))
@@ -432,7 +441,16 @@ def landing_dedup_transform(
     est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(NUM_MINHASH)
     return (
         delta_bands.join(corpus_bands, ["b", "bh"])
-        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        # canonical pair order (doc_a < doc_b) — stateless least/
+        # greatest, matching the batch incremental_dedup contract;
+        # without it a delta doc_id smaller than its corpus partner
+        # would emit an inverted pair
+        .select(
+            F.least("doc_a", "doc_b").alias("pa"),
+            F.greatest("doc_a", "doc_b").alias("pb"),
+            est.alias("est_jaccard"),
+        )
+        .withColumnsRenamed({"pa": "doc_a", "pb": "doc_b"})
         .filter(F.col("est_jaccard") >= 0.5)
         # a doc's 4 band rows arrive in one micro-batch, so duplicates
         # are same-batch only (multi-band hits); the dedup state is one

@@ -176,6 +176,46 @@ def test_extend_index_folds_delta_and_keeps_history(
     ) == {d for d in full if _bucket(d) < INCR_DELTA_FROM}
 
 
+def test_incremental_unaffected_by_folded_snapshot(
+    spark, straddle_corpus_dir, tmp_path, monkeypatch
+):
+    """Running incremental_dedup AFTER extend_minhash_index folded the
+    delta into v2 must produce the identical result: the snapshot read
+    is bucket-filtered to corpus rows, so folded delta signatures are
+    not unioned twice (which would inflate band-bucket sizes and emit
+    duplicate join rows). Folding twice is likewise idempotent."""
+    from data_engineering_challenge_spark.operators.dedup import (
+        extend_minhash_index,
+    )
+    from data_engineering_challenge_spark.sinks.versioned import read_snapshot
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx6"))
+    r1 = sorted(
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in incremental_dedup(spark, straddle_corpus_dir).collect()
+    )
+    table_dir = minhash_index_dir(straddle_corpus_dir)
+    v2 = extend_minhash_index(spark, straddle_corpus_dir, table_dir)
+    assert v2 == 2
+    r2 = sorted(
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in incremental_dedup(spark, straddle_corpus_dir).collect()
+    )
+    assert r1 == r2 and len(r2) == len(set((a, b) for a, b, _ in r2))
+    # folding again on an unchanged corpus publishes the same signature
+    # set (no delta double-count inside the snapshot either)
+    v3 = extend_minhash_index(spark, straddle_corpus_dir, table_dir)
+    s2 = sorted(
+        (r.doc_id, tuple(r.s))
+        for r in read_snapshot(spark, table_dir, version=v2).collect()
+    )
+    s3 = sorted(
+        (r.doc_id, tuple(r.s))
+        for r in read_snapshot(spark, table_dir, version=v3).collect()
+    )
+    assert s2 == s3
+
+
 def test_incremental_matches_full_when_cap_binds(spark, tmp_path, monkeypatch):
     """The union-cap argument under fire: a boilerplate cluster whose
     band buckets exceed MAX_BAND_BUCKET only in the UNION (corpus part

@@ -398,6 +398,15 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path, monk
         {"doc_id": delta_ids[1], "text": base.replace("fox", "wolf")},
         {"doc_id": delta_ids[2], "text": base.replace("fox", "wolf") + " x"},
     ]
+    # a cluster whose DELTA member has the smaller doc_id than its
+    # corpus partner — pins the least/greatest pair normalization (a
+    # stream that emitted corpus-id-first would invert this pair)
+    base2 = base.replace("quick brown fox", "slow green turtle")
+    rows += [
+        {"doc_id": corpus_ids[-1], "text": base2 + " variant one"},
+        {"doc_id": delta_ids[3], "text": base2 + " variant two"},
+    ]
+    assert delta_ids[3] < corpus_ids[-1]
     root = tmp_path / "lz"
     root.mkdir()
     pd.DataFrame(rows).to_parquet(root / "documents.parquet", index=False)
@@ -412,9 +421,12 @@ def test_streaming_incremental_dedup_matches_batch(spark, sf_dir, tmp_path, monk
         k: v for k, v in batch.items() if not (k[0] in delta_set and k[1] in delta_set)
     }
     # the fixture must exercise both shapes: a corpus-delta hit and a
-    # delta-delta pair the stream legitimately does NOT emit
+    # delta-delta pair the stream legitimately does NOT emit — plus at
+    # least one cross pair whose delta member holds the SMALLER id
+    # (doc_a), so canonical ordering is actually tested
     assert batch_cross, batch
     assert len(batch) > len(batch_cross), batch
+    assert any(a in delta_set and b not in delta_set for a, b in batch_cross)
 
     s = incremental_dedup_stream(spark, str(root))
     run_stream_to_memory(s, "incr_dedup_out", mode="append")
