@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import load_table, spread_scan
 from ..functions.text import count_in_set, normalize_text, tokens, word_ngrams
-from ..registry import register
+from ..registry import register, track_persist
 
 # language-marker stopwords (tiny deterministic heuristic; the point is
 # the operator shape — swap lists for real profiles in production)
@@ -671,20 +671,30 @@ def build_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("doc_id").alias("df"),
         )
     )
+    # freq feeds two consumers (the corpus-wide total and the top-K
+    # branch); persist it so the tokenize scan runs once
+    freq = track_persist(freq)
     total = freq.agg(F.sum("tf").cast("bigint").alias("total_tf"))
-    # the window runs on the vocabulary table (≪ corpus); a single
-    # unpartitioned sort of ~30k rows is driver-trivial and stays so at
-    # 100 TB because vocabulary growth is sublinear in corpus size
+    # Top-K FIRST: orderBy().limit() compiles to TakeOrderedAndProject
+    # (per-partition K-row heaps merged on the driver), so no partition
+    # ever sorts the full vocabulary. Heaps-law vocabularies on a real
+    # web corpus reach 1e8+ distinct tokens — an unpartitioned
+    # full-vocab window sort is exactly the plan this avoids (the
+    # pattern vocab_coverage_audit below already uses). The
+    # rank/coverage window then runs over the K surviving rows only;
+    # coverage divides by the corpus-wide total from a separate 1-row
+    # agg, so every value is identical to ranking the full table
+    # (the order prefix is the same total order).
+    topk = freq.orderBy(F.desc("tf"), F.asc("token")).limit(VOCAB_TOP_K)
     w = Window.orderBy(F.desc("tf"), F.asc("token"))
     return (
-        freq.crossJoin(F.broadcast(total))
+        topk.crossJoin(F.broadcast(total))
         .withColumn("rank", F.row_number().over(w).cast("bigint"))
         .withColumn(
             "coverage",
             F.sum("tf").over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("double")
             / F.col("total_tf"),
         )
-        .filter(F.col("rank") <= VOCAB_TOP_K)
         .select("rank", "token", "tf", "df", "coverage")
         .orderBy("rank")
     )

@@ -351,6 +351,23 @@ def test_q18_having_runs_before_customer_join(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+def test_build_vocab_takes_topk_before_window(spark, sf_dir):
+    """build_vocab must select the top-K vocabulary with
+    TakeOrderedAndProject (per-partition heaps) BEFORE the rank/
+    coverage window: Heaps-law vocabularies reach 1e8+ distinct tokens
+    at 100 TB, so an unpartitioned window sort of the FULL vocab table
+    is the plan this pins against. In plan text the window must appear
+    above (earlier line than) the TakeOrdered that feeds it, i.e. the
+    window's child contains the limit, never the raw aggregate."""
+    plan = _plan(spark, sf_dir, "build_vocab")
+    assert "TakeOrderedAndProject" in plan
+    w = plan.index("Window")
+    t = plan.index("TakeOrderedAndProject")
+    # formatted plans print operators top-down (consumers first): the
+    # window consumes the TakeOrdered output, so it must print earlier
+    assert w < t, "window runs over the full vocabulary, not the top-K"
+
+
 def test_vocab_coverage_broadcasts_vocab_probe(spark, sf_dir):
     """The frozen top-K vocabulary must broadcast into the corpus-side
     probe join — a shuffled join here would re-shuffle the exploded
