@@ -430,11 +430,11 @@ def _assign_nearest(e: DataFrame, cents: DataFrame, keep_v: bool = False) -> Dat
     return e.crossJoin(F.broadcast(cents)).groupBy("vec_id").agg(*aggs)
 
 
-def _ivf_search(e: DataFrame, cents: DataFrame) -> DataFrame:
-    """Assignment + nprobe probing + exact rerank against `cents`
-    (cent_id, cv, cn). Centroids broadcast; the corpus never shuffles
-    for assignment — at scale, cell-partitioned storage turns each
-    query into a partition-pruned read of nprobe/ncells of the data."""
+def _ivf_candidates(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """(query_id, neighbor_id): the nprobe-pruned candidate set —
+    corpus assigned to its nearest cell, each query probing its
+    N_PROBE best cells. The pruning half of every IVF search; the
+    rerank half (exact cosine or PQ/ADC) is the caller's choice."""
     assign = _assign_nearest(e, cents).select("vec_id", "cell")
     # top-nprobe cells only for the query SUBSET: filter before the
     # crossJoin so the window sorts |Q| × cells rows, not corpus × cells
@@ -446,12 +446,20 @@ def _ivf_search(e: DataFrame, cents: DataFrame) -> DataFrame:
         .filter(F.col("crnk") <= N_PROBE)
         .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
     )
-    cand = (
+    return (
         assign.join(F.broadcast(probes), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .distinct()
     )
+
+
+def _ivf_search(e: DataFrame, cents: DataFrame) -> DataFrame:
+    """Assignment + nprobe probing + exact rerank against `cents`
+    (cent_id, cv, cn). Centroids broadcast; the corpus never shuffles
+    for assignment — at scale, cell-partitioned storage turns each
+    query into a partition-pruned read of nprobe/ncells of the data."""
+    cand = _ivf_candidates(e, cents)
     qe = e.select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
     scored = (
         cand.join(F.broadcast(qe), "query_id")
@@ -875,20 +883,74 @@ def _pq_codebook(e: DataFrame) -> DataFrame:
 
 def _pq_encode(e: DataFrame, codebook: DataFrame) -> DataFrame:
     """(vec_id, s, code, d): argmin-L2 code per subspace, ties to the
-    lower code id; `d` is the winning subspace L2 distance."""
+    lower code id; `d` is the winning subspace L2 distance.
+
+    Argmin as a min_by AGGREGATION, not a row_number window — the same
+    cost model as _assign_nearest: a window must shuffle-and-sort every
+    (vector × subspace × code) expanded row (n × 128 here — 640M rows
+    at sf100); min_by partial-aggregates map-side, so only n × 8 winner
+    rows ever shuffle. Tie rule identical to the oracle's
+    ROW_NUMBER ... ORDER BY d ASC, code ASC: min of the (d, code)
+    struct. The winner's d is MIN(d) (ties share the same d)."""
     esub = e.select(
         "vec_id", F.posexplode(_pq_subs(F.col("v"))).alias("s0", "sub")
     ).select((F.col("s0") + 1).alias("s"), "vec_id", "sub")
-    wenc = W.partitionBy("vec_id", "s").orderBy(F.asc("d"), F.asc("code"))
+    d = _pq_l2_col(F.col("sub"), F.col("cvec"))
     return (
         esub.join(F.broadcast(codebook), "s")
-        .select(
-            "vec_id", "s", "code",
-            _pq_l2_col(F.col("sub"), F.col("cvec")).alias("d"),
+        .select("vec_id", "s", "code", d.alias("d"))
+        .groupBy("vec_id", "s")
+        .agg(
+            F.min_by("code", F.struct(F.col("d"), F.col("code"))).alias("code"),
+            F.min("d").alias("d"),
         )
-        .withColumn("crnk", F.row_number().over(wenc))
-        .filter(F.col("crnk") == 1)
     )
+
+
+def _pq_codes_wide(enc: DataFrame) -> DataFrame:
+    """(vec_id, codes: array[PQ_SUBSPACES]): the stored PQ code row —
+    8 one-byte codes standing in for 64 doubles."""
+    return enc.groupBy("vec_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "code"))), lambda t: t["code"]
+        ).alias("codes")
+    )
+
+
+def _pq_query_luts(e: DataFrame, codebook: DataFrame) -> DataFrame:
+    """(query_id, pls): per-query ADC lookup tables — pls[s][code] =
+    dot(query subvector s, codebook entry). |Q| rows of
+    PQ_SUBSPACES × PQ_CODES doubles; always broadcast."""
+    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "v"
+    )
+    qsub = q.select(
+        "query_id", F.posexplode(_pq_subs(F.col("v"))).alias("s0", "qs")
+    ).select((F.col("s0") + 1).alias("s"), "query_id", "qs")
+    qp = qsub.join(F.broadcast(codebook), "s").select(
+        "query_id", "s", "code", dot(F.col("qs"), F.col("cvec")).alias("p")
+    )
+    qs_ = qp.groupBy("query_id", "s").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("code", "p"))), lambda t: t["p"]
+        ).alias("plist")
+    )
+    return qs_.groupBy("query_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("s", "plist"))), lambda t: t["plist"]
+        ).alias("pls")
+    )
+
+
+def _pq_adc_score() -> F.Column:
+    """The ADC inner product: a FIXED-ORDER chain of the 8 per-subspace
+    lookups (sum order is part of the cross-engine contract)."""
+    score = F.element_at(F.element_at("pls", 1), F.element_at(F.col("codes"), 1))
+    for s in range(2, PQ_SUBSPACES + 1):
+        score = score + F.element_at(
+            F.element_at("pls", s), F.element_at(F.col("codes"), s)
+        )
+    return score
 
 
 # Shared oracle CTE chain: corpus → stride-seeded codebook →
@@ -986,42 +1048,14 @@ _PQ_ENC_SQL = f"""
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_with_norm(spark, sf_dir)
     codebook = _pq_codebook(e)
-    enc = _pq_encode(e, codebook)
-    codes_w = enc.groupBy("vec_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("s", "code"))), lambda t: t["code"]
-        ).alias("codes")
-    )
-
-    q = e.filter(F.col("vec_id") % QUERY_MOD == 0).select(
-        F.col("vec_id").alias("query_id"), "v"
-    )
-    qsub = q.select(
-        "query_id", F.posexplode(_pq_subs(F.col("v"))).alias("s0", "qs")
-    ).select((F.col("s0") + 1).alias("s"), "query_id", "qs")
-    qp = qsub.join(F.broadcast(codebook), "s").select(
-        "query_id", "s", "code", dot(F.col("qs"), F.col("cvec")).alias("p")
-    )
-    qs_ = qp.groupBy("query_id", "s").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("code", "p"))), lambda t: t["p"]
-        ).alias("plist")
-    )
-    qw = qs_.groupBy("query_id").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("s", "plist"))), lambda t: t["plist"]
-        ).alias("pls")
-    )
-
-    score = F.element_at(F.element_at("pls", 1), F.element_at(F.col("codes"), 1))
-    for s in range(2, PQ_SUBSPACES + 1):
-        score = score + F.element_at(
-            F.element_at("pls", s), F.element_at(F.col("codes"), s)
-        )
+    codes_w = _pq_codes_wide(_pq_encode(e, codebook))
+    qw = _pq_query_luts(e, codebook)
     scored = (
         codes_w.join(F.broadcast(qw), F.col("vec_id") != F.col("query_id"))
         .select(
-            "query_id", F.col("vec_id").alias("neighbor_id"), score.alias("pq_score")
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_adc_score().alias("pq_score"),
         )
     )
     wk = W.partitionBy("query_id").orderBy(F.desc("pq_score"), F.asc("neighbor_id"))
@@ -1078,6 +1112,226 @@ def pq_reconstruction_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("err", 0.5).alias("median_err"),
         F.percentile("err", 0.9).alias("p90_err"),
         F.max("err").alias("max_err"),
+    )
+
+
+# Cell count for the IVF+PQ composition. The balance point moves when
+# the reranker gets cheaper: assignment costs n·c·DIM multiplies, the
+# ADC rerank costs |Q|·nprobe·(n/c)·PQ_SUBSPACES table lookups — per
+# candidate ~8× cheaper than an exact 64-dim dot. Minimizing the sum
+# gives c* = √(n·N_PROBE/(8·QUERY_MOD)) ≈ √n/11.5 — fewer, fatter
+# cells than either exact-rerank path, because cheap reranks make big
+# candidate lists affordable while assignment stays the dominant scan.
+_IVFPQ_STRIDE_SQL = (
+    "SELECT GREATEST(1, CAST(FLOOR(COUNT(*) / GREATEST("
+    f"CEIL(SQRT(COUNT(*) * {N_PROBE}.0 / (8.0 * {QUERY_MOD}.0))), 1)) AS BIGINT)) "
+    "AS stride FROM e"
+)
+
+
+def pq_index_dir(sf_dir: str) -> str:
+    """Fingerprinted location of the stored IVF+PQ code table for
+    sf_dir's embeddings — same protocol as dedup.minhash_index_dir:
+    keyed on the source file's (path, mtime, size) so a regenerated
+    fixture rebuilds instead of serving stale codes."""
+    import hashlib
+    import tempfile
+
+    import os as _os
+
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = _os.stat(src)
+        fp_src = f"{_os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp_src = _os.path.abspath(src)
+    fp = hashlib.md5(fp_src.encode()).hexdigest()[:16]
+    base = _os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        _os.path.join(tempfile.gettempdir(), "spark_graft_minhash_index"),
+    )
+    return _os.path.join(base, "pq_" + fp)
+
+
+def build_pq_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    """Encode the corpus ONCE and publish the full IVF+PQ index as
+    versioned snapshots: the code table (vec_id, cell, codes) plus the
+    two tiny frames queries need — coarse centroids and the PQ
+    codebook. The index-build half of the stack (assignment scan + PQ
+    encode) is paid per corpus version, not per query batch, and the
+    query path never rescans raw corpus vectors. Returns the code
+    table's published version."""
+    import os as _os
+
+    from ..sinks.versioned import write_snapshot
+
+    e = _emb_with_norm(spark, sf_dir)
+    cents = _ivfpq_stride_centroids(e)
+    codebook = _pq_codebook(e)
+    coded = _assign_nearest(e, cents).select("vec_id", "cell").join(
+        _pq_codes_wide(_pq_encode(e, codebook)), "vec_id"
+    )
+    write_snapshot(cents, _os.path.join(table_dir, "cents"))
+    write_snapshot(codebook, _os.path.join(table_dir, "codebook"))
+    return write_snapshot(coded, _os.path.join(table_dir, "codes"))
+
+
+def _ivfpq_stride_centroids(e: DataFrame) -> DataFrame:
+    n = F.count(F.lit(1))
+    cells = F.greatest(
+        F.ceil(F.sqrt(n * F.lit(float(N_PROBE)) / F.lit(8.0 * QUERY_MOD))),
+        F.lit(1).cast("bigint"),
+    )
+    params = e.agg(
+        F.greatest(F.lit(1).cast("bigint"), F.floor(n / cells).cast("bigint")).alias(
+            "stride"
+        )
+    )
+    return (
+        e.crossJoin(F.broadcast(params))
+        .filter(F.col("vec_id") % F.col("stride") == 0)
+        .select(
+            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn")
+        )
+    )
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle=f"""
+        WITH {_PQ_ENC_SQL},
+        codes_w AS (
+            SELECT vec_id, list(code ORDER BY s) AS codes FROM enc GROUP BY vec_id
+        ),
+        cparams AS ({_IVFPQ_STRIDE_SQL}),
+        cents AS (SELECT vec_id AS cent_id, v AS cv, nrm AS cn FROM e, cparams
+                  WHERE vec_id % stride = 0),
+        scored_cells AS (
+            SELECT e.vec_id, cent_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_DOT_SQL.format(a='e.v', b='cv')} / (e.nrm * cn)
+                                DESC, cent_id
+                   ) AS crnk
+            FROM e CROSS JOIN cents
+        ),
+        assign AS (SELECT vec_id, cent_id AS cell FROM scored_cells WHERE crnk = 1),
+        probes AS (
+            SELECT vec_id AS query_id, cent_id AS cell FROM scored_cells
+            WHERE vec_id % {QUERY_MOD} = 0 AND crnk <= {N_PROBE}
+        ),
+        cand AS (
+            SELECT DISTINCT query_id, a.vec_id AS neighbor_id
+            FROM probes p JOIN assign a ON a.cell = p.cell
+            WHERE a.vec_id <> query_id
+        ),
+        q AS (SELECT vec_id AS query_id, v FROM e WHERE vec_id % {QUERY_MOD} = 0),
+        qsub AS (
+            SELECT query_id, s,
+                   list_slice(v, (s - 1) * {PQ_SUBDIM} + 1, s * {PQ_SUBDIM}) AS qs
+            FROM q, range(1, {PQ_SUBSPACES + 1}) t(s)
+        ),
+        qp AS (
+            SELECT query_id, qsub.s, cb.code,
+                   {_PQ_DOT_SQL.format(a='qs', b='cvec')} AS p
+            FROM qsub JOIN codebook cb ON qsub.s = cb.s
+        ),
+        qs_ AS (
+            SELECT query_id, s, list(p ORDER BY code) AS plist
+            FROM qp GROUP BY query_id, s
+        ),
+        qw AS (
+            SELECT query_id, list(plist ORDER BY s) AS pls
+            FROM qs_ GROUP BY query_id
+        ),
+        scored AS (
+            SELECT c.query_id, c.neighbor_id,
+                   {" + ".join(f"pls[{s}][codes[{s}]]" for s in range(1, PQ_SUBSPACES + 1))}
+                       AS pq_score
+            FROM cand c
+            JOIN codes_w cw ON cw.vec_id = c.neighbor_id
+            JOIN qw ON qw.query_id = c.query_id
+        )
+        SELECT query_id, neighbor_id, pq_score, rnk FROM (
+            SELECT query_id, neighbor_id, pq_score,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY pq_score DESC, neighbor_id
+                   ) AS rnk
+            FROM scored
+        ) WHERE rnk <= {TOP_K}
+        ORDER BY query_id, rnk
+    """,
+    doc="The production ANN stack: IVF selects, PQ compresses, and the "
+    "index is STORED — build_pq_index publishes (vec_id, cell, codes) "
+    "plus centroids and codebook as versioned snapshots (same protocol "
+    "as the MinHash dedup index), so query batches read 8 codes/vector "
+    "from the snapshot scan and never re-encode or rescan raw corpus "
+    "vectors. Coarse stride cells prune each query's scan to its "
+    "N_PROBE best cells (ann_ivf_topk's candidate machinery), then the "
+    f"candidates are ranked by ADC over stored {PQ_SUBSPACES}-byte PQ "
+    "codes (exactly ann_pq_topk's scorer) — never touching the raw "
+    "vectors at query time. The cell count is ADC-optimal (√n/11.5 — "
+    "fewer, fatter cells than the exact-rerank paths, because an 8× "
+    "cheaper rerank makes big candidate lists affordable while the "
+    "assignment scan dominates). Both halves are stride-seeded and "
+    "deterministic, so the oracle replays the codebook, the cells, the "
+    "candidate set, and every score bit-identically. Scale: vs "
+    "ann_ivf_trained_topk the rerank reads 8 codes/vector instead of "
+    "64 doubles (64x less memory traffic on the scan that dominates); "
+    "vs ann_pq_topk the ADC scan shrinks from the full corpus to "
+    f"~{N_PROBE}/cells of it. Candidates join on neighbor_id against "
+    "the code table — at cluster scale codes are encoded once, stored "
+    "cell-partitioned, and each probe is a partition-pruned read.",
+    tags=("similarity", "ivf", "pq", "extension"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..sinks.versioned import read_snapshot
+
+    # the stored index: (vec_id, cell, codes) — assignment + PQ encode
+    # paid ONCE per corpus version (build_pq_index), published as a
+    # versioned snapshot exactly like the MinHash dedup index. The
+    # query path below reads 8 codes/vector from the snapshot scan and
+    # never touches raw corpus vectors (only the |Q| query vectors for
+    # probes/LUTs) — the memory-traffic property that makes PQ PQ.
+    table_dir = pq_index_dir(sf_dir)
+    if not _os.path.exists(_os.path.join(table_dir, "codes", "manifest.json")):
+        build_pq_index(spark, sf_dir, table_dir)
+    coded = read_snapshot(spark, _os.path.join(table_dir, "codes"))
+    cents = read_snapshot(spark, _os.path.join(table_dir, "cents"))
+    codebook = read_snapshot(spark, _os.path.join(table_dir, "codebook"))
+    # only the |Q| query vectors are read from the raw table
+    e = _emb_with_norm(spark, sf_dir)
+    cw = W.partitionBy("vec_id").orderBy(F.desc(_cent_sim()), F.asc("cent_id"))
+    probes = (
+        e.filter(F.col("vec_id") % QUERY_MOD == 0)
+        .crossJoin(F.broadcast(cents))
+        .withColumn("crnk", F.row_number().over(cw))
+        .filter(F.col("crnk") <= N_PROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("cent_id").alias("cell"))
+    )
+    # candidates never materialize: broadcast probes expand the coded
+    # scan map-side ((query, neighbor) is already unique — one cell per
+    # neighbor, distinct cells per query), ADC scores against the
+    # broadcast per-query LUTs in the same stage; the only wide
+    # exchange after the index build is the per-query top-k window
+    scored = (
+        coded.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(_pq_query_luts(e, codebook)), "query_id")
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _pq_adc_score().alias("pq_score"),
+        )
+    )
+    wk = W.partitionBy("query_id").orderBy(F.desc("pq_score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(wk))
+        .filter(F.col("rnk") <= TOP_K)
+        .orderBy("query_id", "rnk")
     )
 
 

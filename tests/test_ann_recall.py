@@ -64,6 +64,8 @@ def test_brute_force_finds_planted_clusters(spark, planted_sf_dir):
         ("ann_ivf_topk", 0.6),  # 8 cells, 2 probes
         ("ann_ivf_trained_topk", 0.6),  # k-median-refined cells
         ("ann_pq_topk", 0.6),  # 8x16-code ADC (measured 0.8 here)
+        ("ann_ivfpq_topk", 0.8),  # IVF-pruned ADC (measured 0.8 — the
+        # verdict gate: composition must not lose vs standalone PQ)
     ],
 )
 def test_ann_recall_on_clustered_data(spark, planted_sf_dir, approx_name, min_recall):
@@ -72,3 +74,22 @@ def test_ann_recall_on_clustered_data(spark, planted_sf_dir, approx_name, min_re
     assert truth
     recall = len(truth & approx) / len(truth)
     assert recall >= min_recall, f"{approx_name} recall@5 = {recall:.2f}"
+
+
+def test_pq_index_built_once_and_reused(spark, planted_sf_dir, tmp_path, monkeypatch):
+    """ann_ivfpq_topk's stored index is built on first use and REUSED:
+    the second invocation must not publish a new snapshot version (the
+    per-query-batch cost is the code-table scan, not a re-encode)."""
+    import json
+    import os
+
+    from data_engineering_challenge_spark.operators.similarity import pq_index_dir
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    first = _pairs(spark, planted_sf_dir, "ann_ivfpq_topk")
+    manifest = os.path.join(pq_index_dir(planted_sf_dir), "codes", "manifest.json")
+    m1 = json.load(open(manifest))
+    second = _pairs(spark, planted_sf_dir, "ann_ivfpq_topk")
+    m2 = json.load(open(manifest))
+    assert first == second
+    assert m1 == m2 == {"latest": 1, "versions": [1]}

@@ -204,6 +204,7 @@ _BNLJ_BY_DESIGN = {
     "ann_ivf_topk",           # broadcast centroids x corpus scan
     "ann_ivf_trained_topk",   # broadcast centroids (trained) x corpus scan
     "ann_pq_topk",            # broadcast query ADC tables x code scan
+    "ann_ivfpq_topk",         # broadcast centroids / ADC tables x scans
     "pq_reconstruction_error",  # 1-row stride frame + broadcast codebook
     "semantic_dedup",         # broadcast centroids x corpus scan
     "ivf_cell_purity",        # broadcast centroids x corpus scan
