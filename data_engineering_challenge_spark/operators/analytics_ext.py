@@ -292,27 +292,28 @@ def bigram_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # later merges compose ("a b" + "c" -> "a b c"), exactly the BPE
 # merge-table shape.
 #
-# Scale design: the re-segmentation is a per-row JVM fold
-# (F.aggregate over the token array — whole-stage codegen, no Python,
-# no explode-shuffle of the corpus); only the PAIR COUNTS shuffle, and
+# Scale design: the re-segmentation is per-row JVM array/string math
+# (zip_with match flags -> one regexp_replace -> transform+filter; see
+# _bpe_resegment — LINEAR in per-doc token count, no Python, no
+# explode-shuffle of the corpus); only the PAIR COUNTS shuffle, and
 # they partial-aggregate map-side to vocabulary size. Each generation
 # is eagerly localCheckpoint-ed, the same lineage-bounding pattern as
 # the connected-components loop (operators/graph.py) — without it the
-# k-th generation's plan nests k folds deep. The per-step argmax is a
-# 1-row driver decision (bounded, same precedent as the cosine cap).
-# The fold copies the accumulator per element (quadratic in per-DOC
-# token count, linear in corpus) — fine for document-sized rows; a
-# 100k-token row would want a segmented fold.
+# k-th generation's plan nests k re-segmentations deep. The per-step
+# argmax is a 1-row driver decision (bounded, same precedent as the
+# cosine cap). Round 8 replaced the original F.aggregate fold, whose
+# per-element accumulator copy was quadratic in per-DOC length (the
+# r7 verdict's documented hazard for 100k-token rows — now pinned
+# linear by test_bpe_apply_long_doc_bounded_time).
 
 BPE_LEARN_STEPS = 6
 
 
-def _bpe_learn_sql(k: int) -> str:
-    """DuckDB oracle: k mirrored merge->re-segment iterations. Greedy
-    non-overlapping occurrence selection is expressed relationally as
-    gaps-and-islands over match positions: within each maximal run of
-    consecutive matches, the odd-ranked positions are exactly the
-    pairs the left-to-right greedy scan merges."""
+def _bpe_iter_parts(k: int) -> tuple[list[str], list[str]]:
+    """The shared k-iteration CTE chain (merge->re-segment, greedy
+    selection as gaps-and-islands) plus the per-step winner selects —
+    consumed by both the learn oracle (winners) and the apply oracle
+    (final segmentation seq{k})."""
     parts = [
         f"seq0 AS MATERIALIZED (SELECT doc_id, {_TOK_SQL} AS seq FROM documents)"
     ]
@@ -361,9 +362,104 @@ def _bpe_learn_sql(k: int) -> str:
         finals.append(
             f"SELECT {i} AS step, lhs, rhs, CAST(freq AS BIGINT) AS freq FROM m{i}"
         )
+    return parts, finals
+
+
+def _bpe_apply_fixed_sql(merges: list[tuple[str, str]], doc_filter: str = "TRUE") -> str:
+    """DuckDB replay of a FIXED merge table (no per-step argmax search)
+    over an optionally filtered document slice — the cheap half of the
+    big-SF dual-oracle protocol (tools/check_bpe_bigsf.py): the full
+    replay oracle materializes six full-corpus generations (80 GB spill
+    at sf10, infeasible at sf100), but encoding a held-out slice with
+    the ENGINE-learned merges costs |slice| only. Returns (doc_id,
+    seq_str) with the final segmentation pipe-joined for exact
+    comparison."""
+    parts = [
+        "seq0 AS MATERIALIZED ("
+        f"SELECT doc_id, {_TOK_SQL} AS seq FROM documents WHERE {doc_filter})"
+    ]
+    for i, (lhs, rhs) in enumerate(merges, 1):
+        p = i - 1
+        ql, qr = lhs.replace("'", "''"), rhs.replace("'", "''")
+        parts.append(f"""tok{i} AS MATERIALIZED (
+            SELECT doc_id, unnest(seq) AS tok, generate_subscripts(seq, 1) AS pos
+            FROM seq{p}
+        )""")
+        parts.append(f"""nxt{i} AS MATERIALIZED (
+            SELECT doc_id, tok, pos,
+                   lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nt
+            FROM tok{i}
+        )""")
+        parts.append(f"""mm{i} AS MATERIALIZED (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM nxt{i}
+            WHERE tok = '{ql}' AND nt = '{qr}'
+        )""")
+        parts.append(f"""chosen{i} AS MATERIALIZED (
+            SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id, grp ORDER BY pos) AS rn
+                FROM mm{i}
+            ) WHERE rn % 2 = 1
+        )""")
+        parts.append(f"""seq{i} AS MATERIALIZED (
+            SELECT n.doc_id,
+                   list(CASE WHEN c.pos IS NOT NULL THEN n.tok || ' ' || n.nt
+                             ELSE n.tok END ORDER BY n.pos) AS seq
+            FROM nxt{i} n
+            LEFT JOIN chosen{i} c ON c.doc_id = n.doc_id AND c.pos = n.pos
+            LEFT JOIN chosen{i} pp ON pp.doc_id = n.doc_id AND pp.pos = n.pos - 1
+            WHERE pp.pos IS NULL
+            GROUP BY n.doc_id
+        )""")
+    k = len(merges)
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+        SELECT b.doc_id,
+               COALESCE(array_to_string(s.seq, '|'),
+                        array_to_string(b.seq, '|')) AS seq_str
+        FROM seq0 b LEFT JOIN seq{k} s USING (doc_id)
+        ORDER BY b.doc_id
+    """
+    )
+
+
+def _bpe_learn_sql(k: int) -> str:
+    """DuckDB oracle: k mirrored merge->re-segment iterations. Greedy
+    non-overlapping occurrence selection is expressed relationally as
+    gaps-and-islands over match positions: within each maximal run of
+    consecutive matches, the odd-ranked positions are exactly the
+    pairs the left-to-right greedy scan merges."""
+    parts, finals = _bpe_iter_parts(k)
     return (
         "WITH " + ",\n".join(parts)
         + "\nSELECT * FROM (" + " UNION ALL ".join(finals) + ") ORDER BY step"
+    )
+
+
+def _bpe_apply_sql(k: int) -> str:
+    """DuckDB oracle for bpe_apply: replay the identical k iterations,
+    then report per-doc encoded length against the base segmentation.
+    seq{i} CTEs lose docs whose token array is empty (unnest of an
+    empty list emits no rows), so the final select re-joins from seq0
+    and COALESCEs the encoded length back to the base length (an
+    empty/1-token doc is its own encoding)."""
+    parts, _finals = _bpe_iter_parts(k)
+    return (
+        "WITH " + ",\n".join(parts) + f""",
+        base AS (SELECT doc_id, CAST(len(seq) AS BIGINT) AS n_base_tokens
+                 FROM seq0)
+        SELECT b.doc_id,
+               b.n_base_tokens,
+               CAST(COALESCE(len(s.seq), b.n_base_tokens) AS BIGINT)
+                   AS n_bpe_tokens,
+               CAST(b.n_base_tokens AS DOUBLE)
+                   / NULLIF(COALESCE(len(s.seq), b.n_base_tokens), 0)
+                   AS compression
+        FROM base b LEFT JOIN seq{k} s USING (doc_id)
+        ORDER BY b.doc_id
+    """
     )
 
 
@@ -382,6 +478,114 @@ def _bpe_learn_sql(k: int) -> str:
     tags=("text", "iterative", "extension"),
 )
 def bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges, _final = _bpe_learn_loop(spark, sf_dir)
+    return spark.createDataFrame(
+        merges, schema="step int, lhs string, rhs string, freq bigint"
+    ).orderBy("step")
+
+
+@register(
+    "bpe_apply",
+    oracle=_bpe_apply_sql(BPE_LEARN_STEPS),
+    doc=f"The encode counterpart of bpe_learn: the {BPE_LEARN_STEPS} "
+    "learned merges applied in rank order to every document (greedy "
+    "non-overlapping left-to-right, identical semantics to the learn "
+    "loop's re-segmentation), reporting per-doc base vs encoded token "
+    "counts and the compression ratio — the number a tokenizer freeze "
+    "is judged by. The learn loop's final generation IS the merge "
+    "table applied in rank order, so the registered query reports from "
+    "it without a second encode pass; the standalone encoder for a "
+    "FROZEN merge table is bpe_apply_merges (pytest-pinned equal). "
+    "Re-segmentation is linear per doc (match-flag string + one "
+    "regexp_replace; see _bpe_resegment) — a 100k-token row encodes in "
+    "bounded time, pinned by test_bpe_apply_long_doc_bounded_time.",
+    tags=("text", "iterative", "extension"),
+)
+def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, final = _bpe_learn_loop(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_base_tokens")
+    )
+    enc = final.select("doc_id", F.size("seq").cast("bigint").alias("n_bpe_tokens"))
+    return (
+        base.join(enc, "doc_id")
+        .select(
+            "doc_id",
+            "n_base_tokens",
+            "n_bpe_tokens",
+            F.when(
+                F.col("n_bpe_tokens") > 0,
+                F.col("n_base_tokens").cast("double") / F.col("n_bpe_tokens"),
+            ).alias("compression"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_resegment(df: DataFrame, lhs: str, rhs: str) -> DataFrame:
+    """One greedy left-to-right non-overlapping merge pass over
+    (doc_id, seq) — LINEAR in per-doc token count, pure JVM.
+
+    The trick: greedy selection within a run of consecutive (lhs, rhs)
+    matches picks alternating positions from the run start — exactly
+    what a left-to-right non-overlapping regexp_replace of '11' with
+    '10' computes on the match-flag string. So: (1) zip_with the
+    shifted sequences into a '1'/'0' flag string (linear), (2) one
+    regexp_replace resolves ALL greedy choices (linear; the oracle's
+    gaps-and-islands rn % 2 = 1 selection, same parity), (3) a
+    transform+filter rebuilds the sequence, each element doing two O(1)
+    substr probes into the staged flag string (staged as a real column
+    — inside a lambda Catalyst would inline and re-evaluate the
+    regexp per element). The original F.aggregate fold copied the
+    accumulator array per element: O(L^2) per doc."""
+    la, lb = F.lit(lhs), F.lit(rhs)
+    merged = F.lit(f"{lhs} {rhs}")
+    seq = F.col("seq")
+    npairs = F.greatest(F.size(seq) - 1, F.lit(0))
+    flags = F.zip_with(
+        F.slice(seq, 1, npairs),
+        F.slice(seq, 2, npairs),
+        lambda a, b: F.when((a == la) & (b == lb), F.lit("1")).otherwise(F.lit("0")),
+    )
+    chosen = F.regexp_replace(F.concat_ws("", flags), "11", "10")
+    staged = df.select("doc_id", "seq", chosen.alias("ch"))
+    ch = F.col("ch")
+
+    def emit(x, i):
+        # i is 0-based; flag position i+1 (1-based) is the pair
+        # starting at token i. A chosen merge emits the merged token at
+        # its start and consumes the token after it (never both: the
+        # replace leaves no adjacent '1's).
+        starts_merge = ch.substr(i + 1, F.lit(1)) == "1"
+        consumed = (i >= F.lit(1)) & (ch.substr(i, F.lit(1)) == "1")
+        return F.when(starts_merge, merged).when(consumed, F.lit(None)).otherwise(x)
+
+    out = F.filter(F.transform(F.col("seq"), emit), lambda x: x.isNotNull())
+    return staged.select("doc_id", out.alias("seq"))
+
+
+def bpe_apply_merges(
+    df: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """The corpus ENCODER: apply a frozen merge table to (doc_id, seq)
+    in rank order — one linear re-segmentation pass per merge,
+    localCheckpoint-ed per generation (lineage bounding, as in the
+    learn loop). This is the function a production pipeline calls with
+    a stored merge table; the registered bpe_apply query derives its
+    table from bpe_learn so the driver can replay it."""
+    for lhs, rhs in merges:
+        df = _bpe_resegment(df, lhs, rhs).localCheckpoint()
+    return df
+
+
+def _bpe_learn_loop(
+    spark: SparkSession, sf_dir: str
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """The merge->re-segment loop: returns (merge table rows, FINAL
+    segmentation (doc_id, seq)). The final generation is exactly the
+    merge table applied in rank order to the base segmentation —
+    bpe_apply reports from it without re-encoding."""
     from ..catalog import spread_scan
 
     d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
@@ -407,27 +611,5 @@ def bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         lhs, rhs, freq = top[0]["lhs"], top[0]["rhs"], int(top[0]["freq"])
         merges.append((step, lhs, rhs, freq))
-        la, lb = F.lit(lhs), F.lit(rhs)
-        merged = F.lit(f"{lhs} {rhs}")
-        # greedy left-to-right merge as a fold: if the accumulator's
-        # last element is lhs and the incoming token is rhs, replace
-        # the last element with the merged token (F.get returns NULL
-        # out-of-bounds, so the empty accumulator falls through).
-        # After a merge the last element becomes "lhs rhs", which can
-        # never equal lhs again, so overlapping occurrences are
-        # skipped exactly like the sequential scan.
-        fold = F.aggregate(
-            F.col("seq"),
-            F.expr("CAST(array() AS array<string>)"),
-            lambda acc, x: F.when(
-                (F.get(acc, F.size(acc) - 1) == la) & (x == lb),
-                F.concat(
-                    F.slice(acc, 1, F.size(acc) - 1), F.array(merged)
-                ),
-            ).otherwise(F.concat(acc, F.array(x))),
-        )
-        nxt = prev.select("doc_id", fold.alias("seq")).localCheckpoint()
-        prev = nxt
-    return spark.createDataFrame(
-        merges, schema="step int, lhs string, rhs string, freq bigint"
-    ).orderBy("step")
+        prev = _bpe_resegment(prev, lhs, rhs).localCheckpoint()
+    return merges, prev

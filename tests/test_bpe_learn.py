@@ -86,3 +86,58 @@ def test_overlapping_run_merges_greedily(spark, tmp_path_factory):
     )
     _, orows = testing.run_oracle(con, _bpe_learn_sql(2))
     assert [tuple(r) for r in orows] == rows[:2]
+
+
+def test_bpe_apply_matches_hand_computation(spark, hand_corpus_dir):
+    """Per-doc encode report on the hand corpus. After the full merge
+    run (steps 1-3 as in HAND, then step 4 merges (a b c, d), then no
+    pairs remain): doc1 'a b a b c' -> one token, doc2 'a b c d' ->
+    one token."""
+    from data_engineering_challenge_spark.operators.analytics_ext import bpe_apply
+
+    rows = [tuple(r) for r in bpe_apply(spark, hand_corpus_dir).collect()]
+    assert rows == [(1, 5, 1, 5.0), (2, 4, 1, 4.0)]
+
+
+def test_bpe_apply_merges_standalone_encoder_matches_loop(spark, hand_corpus_dir):
+    """bpe_apply_merges with the FROZEN merge table must reproduce the
+    learn loop's final segmentation exactly — the contract that lets a
+    production pipeline encode with a stored table."""
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.catalog import load_table
+    from data_engineering_challenge_spark.functions.text import tokens
+    from data_engineering_challenge_spark.operators.analytics_ext import (
+        _bpe_learn_loop,
+        bpe_apply_merges,
+    )
+
+    merges, final = _bpe_learn_loop(spark, hand_corpus_dir)
+    base = load_table(spark, hand_corpus_dir, "documents").select(
+        "doc_id", tokens(F.col("text")).alias("seq")
+    )
+    encoded = bpe_apply_merges(base, [(m[1], m[2]) for m in merges])
+    got = {r.doc_id: list(r.seq) for r in encoded.collect()}
+    want = {r.doc_id: list(r.seq) for r in final.collect()}
+    assert got == want
+
+
+def test_bpe_apply_long_doc_bounded_time(spark, tmp_path_factory):
+    """The r7 verdict's hazard, pinned closed: a 100k-token document
+    must encode in bounded time. The old F.aggregate fold copied the
+    accumulator per element (O(L^2) ~ 1e10 element copies here); the
+    linear re-segmentation is a flag string + one regexp_replace.
+    'x' * 100k halves per step: 6 merges -> ceil-chain to 1563."""
+    import time
+
+    from data_engineering_challenge_spark.operators.analytics_ext import bpe_apply
+
+    root = tmp_path_factory.mktemp("bpelong")
+    pd.DataFrame([{"doc_id": 1, "text": " ".join(["x"] * 100_000)}]).to_parquet(
+        root / "documents.parquet", index=False
+    )
+    t0 = time.time()
+    rows = [tuple(r) for r in bpe_apply(spark, str(root)).collect()]
+    elapsed = time.time() - t0
+    assert rows == [(1, 100_000, 1563, 100_000 / 1563)]
+    assert elapsed < 120, f"encode took {elapsed:.0f}s — re-segmentation regressed"
