@@ -391,7 +391,8 @@ def landing_dedup_transform(
         _incr_bucket,
         build_minhash_index,
         minhash_index_dir,
-        row_minhash_signature,
+        row_minhash_digests,
+        row_minhash_from_digests,
     )
     from ..functions.text import tokens, word_ngrams
     from ..sinks.versioned import read_snapshot
@@ -420,17 +421,26 @@ def landing_dedup_transform(
     # table once (at 100 TB this is the stored-signature scan, not a
     # corpus scan — ~136 B/doc plus 4 band rows); routed through the
     # registry ledger so it is unpersisted at the next registered-query
-    # call instead of leaking for the session lifetime
+    # call instead of leaking for the session lifetime. Persist AFTER
+    # repartitioning on the join key: InMemoryTableScan preserves its
+    # child's outputPartitioning, so every micro-batch's join reuses
+    # the cached distribution instead of re-exchanging the whole band
+    # table per trigger — the per-batch probe setup that capped the
+    # sf1 stream at ~1.7k docs/s (round-7 STREAM_BENCH).
     from ..registry import track_persist
 
-    corpus_bands = track_persist(corpus_bands)
+    corpus_bands = track_persist(corpus_bands.repartition("b", "bh"))
 
     delta = raw.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
     grams = F.array_distinct(word_ngrams(tokens(F.col("text")), 3))
+    # digests staged as a REAL column between projections — inlined as
+    # a subexpression, the 16 min-expressions would each recompute the
+    # sha256 transform (see row_minhash_digests)
     delta_sig = (
         delta.select("doc_id", grams.alias("g"))
         .filter(F.size("g") > 0)
-        .select("doc_id", row_minhash_signature(F.col("g")).alias("s"))
+        .select("doc_id", row_minhash_digests(F.col("g")).alias("ds"))
+        .select("doc_id", row_minhash_from_digests(F.col("ds")).alias("s"))
     )
     delta_bands = delta_sig.select(
         F.col("doc_id").alias("doc_b"),
@@ -440,7 +450,11 @@ def landing_dedup_transform(
     eq = F.zip_with("s_a", "s_b", lambda x, y: (x == y).cast("int"))
     est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(NUM_MINHASH)
     return (
-        delta_bands.join(corpus_bands, ["b", "bh"])
+        # SHUFFLE_HASH on the micro-batch side: the hash map builds on
+        # the (tiny) delta batch and PROBES the pre-partitioned cached
+        # static side — no per-batch sort of the corpus band table,
+        # which a SortMergeJoin would redo every trigger
+        delta_bands.hint("shuffle_hash").join(corpus_bands, ["b", "bh"])
         # canonical pair order (doc_a < doc_b) — stateless least/
         # greatest, matching the batch incremental_dedup contract;
         # without it a delta doc_id smaller than its corpus partner
