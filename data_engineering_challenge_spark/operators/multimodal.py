@@ -186,6 +186,164 @@ def decode_bmp(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]
     return width, height, grid
 
 
+# ---------------------------------------------------------------------------
+# PNG codec (round 8): the COMPRESSED-format sibling of the BMP codec.
+# The media gate exists because codec *libraries* are absent — but
+# zlib is stdlib, and PNG is zlib + per-row filters + CRC-framed
+# chunks. Encode cycles all five filter types (None/Sub/Up/Average/
+# Paeth) across rows, so a decoder with a broken unfilter path cannot
+# round-trip: the audit's pixel sums would diverge from the oracle.
+
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def encode_png(width: int, height: int, pix) -> bytes:
+    """Encode an 8-bit truecolor (RGB) PNG. `pix(x, y) -> (r, g, b)`.
+    Row y uses filter type y % 5 — every unfilter path in decode_png
+    is exercised by any image of height >= 5."""
+    import struct
+    import zlib
+
+    stride = 3 * width
+    filtered = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pix(x, y)
+            row += bytes((r, g, b))
+        row = bytes(row)
+        ft = y % 5
+        if ft == 0:
+            out = row
+        elif ft == 1:  # Sub
+            out = bytes(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) & 0xFF for i in range(stride)
+            )
+        elif ft == 2:  # Up
+            out = bytes((row[i] - prev[i]) & 0xFF for i in range(stride))
+        elif ft == 3:  # Average
+            out = bytes(
+                (row[i] - (((row[i - 3] if i >= 3 else 0) + prev[i]) >> 1)) & 0xFF
+                for i in range(stride)
+            )
+        else:  # Paeth
+            out = bytes(
+                (
+                    row[i]
+                    - _paeth(
+                        row[i - 3] if i >= 3 else 0,
+                        prev[i],
+                        prev[i - 3] if i >= 3 else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        filtered += bytes((ft,)) + out
+        prev = row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> tuple[int, int, list[list[tuple[int, int, int]]]]:
+    """Decode an 8-bit truecolor PNG to (width, height, grid) with
+    grid[y][x] = (r, g, b). Verifies chunk CRCs; implements all five
+    scanline unfilters."""
+    import struct
+    import zlib
+
+    if payload[: len(PNG_SIG)] != PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = len(PNG_SIG)
+    idat = bytearray()
+    width = height = None
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(typ + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {typ!r} chunk")
+        if typ == b"IHDR":
+            width, height, depth, ctype, comp, filt, ilace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if (depth, ctype, comp, filt, ilace) != (8, 2, 0, 0, 0):
+                raise ValueError(
+                    f"unsupported PNG: depth={depth} color={ctype} interlace={ilace}"
+                )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        pos += 12 + length
+    if width is None:
+        raise ValueError("missing IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = 3 * width
+    grid: list[list[tuple[int, int, int]]] = []
+    prev = bytearray(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if ft == 1:  # Sub
+            for i in range(stride):
+                line[i] = (line[i] + (line[i - 3] if i >= 3 else 0)) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(stride):
+                line[i] = (
+                    line[i] + (((line[i - 3] if i >= 3 else 0) + prev[i]) >> 1)
+                ) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(stride):
+                line[i] = (
+                    line[i]
+                    + _paeth(
+                        line[i - 3] if i >= 3 else 0,
+                        prev[i],
+                        prev[i - 3] if i >= 3 else 0,
+                    )
+                ) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unknown filter type {ft}")
+        grid.append(
+            [tuple(line[3 * x : 3 * x + 3]) for x in range(width)]
+        )
+        prev = line
+    return width, height, grid
+
+
 def resize_nearest(
     width: int, height: int, grid: list, scale: float = 0.5
 ) -> tuple[int, int, list]:
@@ -205,25 +363,32 @@ def resize_nearest(
 
 def resize_media(df: DataFrame, id_col: str, payload_col: str, scale: float = 0.5) -> DataFrame:
     """Resize stage over binary payloads. BMP payloads (b'BM' magic)
-    take the REAL path: stdlib decode → nearest-neighbor resize →
-    re-encode → re-decode, so the reported dimensions come from actual
-    pixel work. Other formats fall back to the deterministic fake
-    decoder (codec libraries absent in this container)."""
+    and PNG payloads (PNG signature) take the REAL path: stdlib decode
+    → nearest-neighbor resize → re-encode → re-decode, so the reported
+    dimensions come from actual pixel work. Other formats fall back to
+    the deterministic fake decoder (codec libraries absent in this
+    container)."""
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ow, oh, nws, nhs = [], [], [], []
             for p in pdf[payload_col]:
                 p = bytes(p)
-                if p[:2] == b"BM":
-                    w, h, grid = decode_bmp(p)
+                codec = (
+                    (decode_bmp, encode_bmp)
+                    if p[:2] == b"BM"
+                    else (decode_png, encode_png)
+                    if p[: len(PNG_SIG)] == PNG_SIG
+                    else None
+                )
+                if codec:
+                    dec, enc = codec
+                    w, h, grid = dec(p)
                     nw, nh, ngrid = resize_nearest(w, h, grid, scale)
                     # re-encode and re-decode: the reported dims are
                     # read back out of the resized FILE, proving the
                     # round trip, not echoing the arithmetic
-                    rw, rh, _ = decode_bmp(
-                        encode_bmp(nw, nh, lambda x, y: ngrid[y][x])
-                    )
+                    rw, rh, _ = dec(enc(nw, nh, lambda x, y: ngrid[y][x]))
                     ow.append(w), oh.append(h), nws.append(rw), nhs.append(rh)
                 else:
                     m = decode_media(p, fake=True)
@@ -333,6 +498,99 @@ def bmp_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         d.select("doc_id").mapInPandas(op, schema=BMP_AUDIT_SCHEMA).orderBy("doc_id")
+    )
+
+
+PNG_AUDIT_SCHEMA = (
+    "doc_id bigint, width int, height int, new_width int, new_height int, "
+    "pixel_sum bigint"
+)
+
+
+@register(
+    "png_roundtrip_audit",
+    oracle="""
+        WITH dims AS (
+            SELECT doc_id,
+                   CAST(1 + doc_id % 13 AS INT) AS width,
+                   CAST(5 + (doc_id // 13) % 12 AS INT) AS height
+            FROM documents
+        ),
+        rdims AS (
+            SELECT doc_id, width, height,
+                   CAST(GREATEST(1, width // 2) AS INT) AS new_width,
+                   CAST(GREATEST(1, height // 2) AS INT) AS new_height
+            FROM dims
+        ),
+        ex AS (
+            SELECT doc_id, width, height, new_width, new_height,
+                   unnest(range(0, new_width)) AS x
+            FROM rdims
+        ),
+        ey AS (
+            SELECT doc_id, width, height, new_width, new_height, x,
+                   unnest(range(0, new_height)) AS y
+            FROM ex
+        )
+        SELECT doc_id, width, height, new_width, new_height,
+               CAST(SUM((doc_id + 6 * x + 14 * y) % 256
+                      + (doc_id + 10 * x + 22 * y) % 256
+                      + (doc_id + 2 * x + 26 * y) % 256) AS BIGINT)
+                   AS pixel_sum
+        FROM ey
+        GROUP BY doc_id, width, height, new_width, new_height
+        ORDER BY doc_id
+    """,
+    doc="END-TO-END decode audit on the COMPRESSED stdlib codec: per "
+    "doc, synthesize a real zlib-compressed PNG (dims/pixels derived "
+    "from doc_id; heights >= 5 so the per-row filter cycle exercises "
+    "ALL FIVE unfilter paths — None/Sub/Up/Average/Paeth), decode it, "
+    "nearest-neighbor resize 0.5x, re-encode, re-decode, and report "
+    "dims plus the RGB pixel sum of the re-decoded file. A broken "
+    "unfilter, CRC, or inflate path cannot produce the oracle's "
+    "formula-derived sums (compressed byte COUNTS are deliberately not "
+    "compared: zlib output is library-version-dependent, pixel VALUES "
+    "are not). Arrow-batched mapInPandas, zero shuffle.",
+    tags=("multimodal", "udf", "extension"),
+)
+def png_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "new_width": [], "new_height": [], "pixel_sum": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                w, h = 1 + did % 13, 5 + (did // 13) % 12
+
+                def pix(x: int, y: int, _d: int = did) -> tuple[int, int, int]:
+                    return (
+                        (_d + 3 * x + 7 * y) % 256,
+                        (_d + 5 * x + 11 * y) % 256,
+                        (_d + x + 13 * y) % 256,
+                    )
+
+                payload = encode_png(w, h, pix)
+                dw, dh, grid = decode_png(payload)
+                nw, nh, ngrid = resize_nearest(dw, dh, grid, 0.5)
+                rw, rh, rgrid = decode_png(
+                    encode_png(nw, nh, lambda x, y: ngrid[y][x])
+                )
+                out["doc_id"].append(did)
+                out["width"].append(dw)
+                out["height"].append(dh)
+                out["new_width"].append(rw)
+                out["new_height"].append(rh)
+                out["pixel_sum"].append(
+                    sum(c for row in rgrid for px_ in row for c in px_)
+                )
+            yield pd.DataFrame(out)
+
+    return (
+        d.select("doc_id").mapInPandas(op, schema=PNG_AUDIT_SCHEMA).orderBy("doc_id")
     )
 
 

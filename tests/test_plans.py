@@ -183,6 +183,7 @@ _PYTHON_BY_DESIGN = {
     "multimodal_frames",     # mapInPandas 1->N
     "user_value_trend",      # applyInPandas grouped model
     "bmp_roundtrip_audit",   # mapInPandas real BMP decode/resize/encode
+    "png_roundtrip_audit",   # mapInPandas real PNG (zlib) decode/resize/encode
 }
 _PY_MARKERS = (
     "BatchEvalPython",  # row-at-a-time Python UDF — never acceptable
