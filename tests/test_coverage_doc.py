@@ -45,6 +45,7 @@ def test_documented_query_names_exist():
         "session_counts_stream", "clicks_purchases_join_stream",
         "extract_payload_meta_arrow", "resize_media", "asof_join",
         "extend_minhash_index", "build_minhash_index",
+        "build_pq_index", "bpe_apply_merges", "check_bpe_bigsf",
         "sql_runner", "check_oracle", "run_sql_cli", "oracle_sql",
         "data_engineering_challenge_spark",
     }
