@@ -485,6 +485,63 @@ def bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "bpe_fertility_by_source",
+    oracle=(
+        "WITH " + ",\n".join(_bpe_iter_parts(BPE_LEARN_STEPS)[0]) + f""",
+        base AS (
+            SELECT doc_id, source, CAST(len(seq) AS BIGINT) AS n_base
+            FROM seq0 JOIN documents USING (doc_id)
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_base) AS BIGINT) AS base_tokens,
+               CAST(SUM(COALESCE(len(s.seq), n_base)) AS BIGINT) AS bpe_tokens,
+               CAST(SUM(n_base) AS DOUBLE)
+                   / NULLIF(SUM(COALESCE(len(s.seq), n_base)), 0)
+                   AS compression
+        FROM base b LEFT JOIN seq{BPE_LEARN_STEPS} s USING (doc_id)
+        GROUP BY source
+        ORDER BY source
+    """
+    ),
+    doc="Tokenizer fertility per SOURCE: the learned merge table "
+    "applied corpus-wide, rolled up to exact per-source token sums and "
+    "the compression ratio — the number that tells a data-mixture "
+    "owner which sources blow the token budget after a tokenizer "
+    "freeze (web text compresses differently from code or tables). "
+    "Exact integer sums (order-independent), double division once at "
+    "the end; the learn loop's final generation supplies the encoded "
+    "lengths without a second encode pass.",
+    tags=("text", "iterative", "profiling", "extension"),
+)
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, final = _bpe_learn_loop(spark, sf_dir)
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n_base"),
+    )
+    enc = final.select("doc_id", F.size("seq").cast("bigint").alias("n_bpe"))
+    per_doc = base.join(enc, "doc_id")
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_base").cast("bigint").alias("base_tokens"),
+            F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+        )
+        .select(
+            "source", "n_docs", "base_tokens", "bpe_tokens",
+            F.when(
+                F.col("bpe_tokens") > 0,
+                F.col("base_tokens").cast("double") / F.col("bpe_tokens"),
+            ).alias("compression"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "bpe_apply",
     oracle=_bpe_apply_sql(BPE_LEARN_STEPS),
     doc=f"The encode counterpart of bpe_learn: the {BPE_LEARN_STEPS} "

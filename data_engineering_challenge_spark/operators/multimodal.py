@@ -3,9 +3,12 @@ processed with Arrow-batched mapInPandas.
 
 North-star extension: image/audio/video columns are `binary` payloads
 with struct metadata. The Spark-side plumbing — schema, Arrow batch
-shape, partition-parallel UDF execution — is real and oracle-tested;
-the actual media decode is STUBBED (no image/audio libraries in this
-container): :func:`decode_media` raises NotImplementedError unless the
+shape, partition-parallel UDF execution — is real and oracle-tested.
+Decode is REAL for two formats via pure-stdlib codecs: 24-bit BMP
+(struct only, r7) and zlib-compressed truecolor PNG (r8, all five
+scanline filters + chunk CRCs). Formats that genuinely need external
+codec libraries (JPEG/audio/video — absent in this container) route to
+:func:`decode_media`'s NotImplementedError gate unless the
 deterministic fake decoder is requested.
 
 Scale posture: payloads never leave executors; mapInPandas streams

@@ -63,6 +63,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "ann_ivfpq_topk",
     "bpe_apply",
     "png_roundtrip_audit",
+    "bpe_fertility_by_source",
     # -- no r6 or r7 driver row (newest evidence is r5) ----------------
     "orders_with_discounted_lines",
     "tx_per_store_salted",

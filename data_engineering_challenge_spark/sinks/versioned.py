@@ -81,3 +81,29 @@ def rollback(table_dir: str, version: int) -> None:
 def history(table_dir: str) -> dict:
     """{'latest': N, 'versions': [...]} — the table's version log."""
     return _read_manifest(table_dir)
+
+
+def vacuum_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention: drop the data directories of all but the newest
+    `keep_last` versions (the current `latest` is always retained, even
+    if rollback pointed it at an old version). Returns the versions
+    removed. Ordering matters for crash safety: the manifest is
+    republished WITHOUT the doomed versions FIRST (atomic — readers
+    resolving after this instant can no longer reach them), then the
+    directories are deleted; a crash in between leaves unreachable
+    garbage, never a manifest pointing at missing data. At 100 TB this
+    is the nightly snapshot-GC job — manifest update is one
+    conditional put, deletes are embarrassingly parallel."""
+    import shutil
+
+    m = _read_manifest(table_dir)
+    keep_last = max(1, keep_last)
+    keep = set(sorted(m["versions"])[-keep_last:]) | {m["latest"]}
+    doomed = sorted(v for v in m["versions"] if v not in keep)
+    if not doomed:
+        return []
+    m["versions"] = [v for v in m["versions"] if v in keep]
+    _publish_manifest(table_dir, m)
+    for v in doomed:
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
+    return doomed
