@@ -28,6 +28,8 @@ REPRESENTATIVES = (
     "incremental_dedup",    # frozen-index scan + delta banding join
     "bpe_learn",            # iterative argmax + fold re-segmentation
     "dedup_retention_plan", # CC labels + max_by retention policy
+    "ann_ivfpq_topk",       # stored-index probe + ADC rerank (r8)
+    "bpe_apply",            # linear re-segmentation encode (r8)
 )
 
 

@@ -370,6 +370,18 @@ def test_build_vocab_takes_topk_before_window(spark, sf_dir):
     assert w < t, "window runs over the full vocabulary, not the top-K"
 
 
+def test_ivfpq_query_path_reads_stored_codes(spark, sf_dir):
+    """ann_ivfpq_topk's query path must read the versioned snapshot
+    tables (codes/centroids/codebook published by build_pq_index), and
+    raw embeddings only for the query subset — re-encoding the corpus
+    per query batch is exactly what the stored index exists to avoid."""
+    plan = _plan(spark, sf_dir, "ann_ivfpq_topk")
+    assert "v=1" in plan  # snapshot scans resolve through the manifest
+    # the raw table feeds only probes + query LUTs (two pruned scans);
+    # an encode path would add explode/groupBy scans over embeddings
+    assert plan.count("embeddings.parquet") <= 2
+
+
 def test_vocab_coverage_broadcasts_vocab_probe(spark, sf_dir):
     """The frozen top-K vocabulary must broadcast into the corpus-side
     probe join — a shuffled join here would re-shuffle the exploded
