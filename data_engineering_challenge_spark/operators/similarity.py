@@ -1336,6 +1336,91 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# int8 affine quantization audit (round 8). PQ compresses for the ADC
+# SCAN; plain per-dimension int8 (scale/zero-point, the faiss
+# SQ8 / vector-DB storage format) compresses the STORED table 8× while
+# keeping exact-ish dots — the first compression lever a 100 TB
+# embedding store reaches for. Before flipping it, a deployment needs
+# the round-trip error envelope.
+
+
+@register(
+    "int8_quantization_audit",
+    oracle=f"""
+        WITH e AS ({_CORPUS_SQL}),
+        mm AS (
+            SELECT i, MIN(v[i]) AS mn,
+                   (MAX(v[i]) - MIN(v[i])) / 255.0 AS s
+            FROM e, range(1, {DIM + 1}) t(i) GROUP BY i
+        ),
+        err AS (
+            SELECT vec_id,
+                   MAX(ABS(v[i] - CASE WHEN s = 0 THEN mn
+                       ELSE mn + LEAST(255.0, GREATEST(0.0,
+                                FLOOR((v[i] - mn) / s + 0.5))) * s END))
+                       AS verr
+            FROM e, range(1, {DIM + 1}) t(i) JOIN mm USING (i)
+            GROUP BY vec_id
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_vectors,
+               quantile_cont(verr, 0.5) AS median_err,
+               quantile_cont(verr, 0.9) AS p90_err,
+               MAX(verr) AS max_err
+        FROM err
+    """,
+    doc="Per-dimension affine int8 quantization audit (the faiss-SQ8 / "
+    "vector-store storage format: per-dim scale = (max-min)/255, "
+    "zero-point = min): quantize -> dequantize every vector and report "
+    "the per-vector MAX absolute error as exact order statistics — "
+    "median/p90/max, never a float mean (same cross-engine policy as "
+    "pq_reconstruction_error). Rounding is floor(x + 0.5) in BOTH "
+    "engines — identical IEEE ops, unlike engine-native round() whose "
+    "half-way tie rules differ. Scale: one corpus scan for the 128 "
+    "partial-aggregated min/max columns (1-row broadcast frame), one "
+    "scan for the per-row error fold; no shuffle wider than 64 rows.",
+    tags=("similarity", "quantization", "profiling", "extension"),
+)
+def int8_quantization_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _emb_with_norm(spark, sf_dir)
+    mm = e.agg(
+        F.array(
+            *[F.min(F.element_at("v", i)) for i in range(1, DIM + 1)]
+        ).alias("mn"),
+        F.array(
+            *[
+                (
+                    (F.max(F.element_at("v", i)) - F.min(F.element_at("v", i)))
+                    / F.lit(255.0)
+                )
+                for i in range(1, DIM + 1)
+            ]
+        ).alias("s"),
+    )
+
+    def err_elem(x, i):
+        mn_i = F.element_at(F.col("mn"), i + 1)
+        s_i = F.element_at(F.col("s"), i + 1)
+        q = F.least(
+            F.lit(255.0),
+            F.greatest(
+                F.lit(0.0), F.floor((x - mn_i) / s_i + F.lit(0.5)).cast("double")
+            ),
+        )
+        dq = F.when(s_i == 0.0, mn_i).otherwise(mn_i + q * s_i)
+        return F.abs(x - dq)
+
+    per_vec = e.crossJoin(F.broadcast(mm)).select(
+        "vec_id", F.array_max(F.transform("v", err_elem)).alias("verr")
+    )
+    return per_vec.agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.percentile("verr", 0.5).alias("median_err"),
+        F.percentile("verr", 0.9).alias("p90_err"),
+        F.max("verr").alias("max_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Truncated-dimension recall audit (round 7). The cheapest ANN lever
 # at 100 TB is not a better index — it is fewer dimensions: scoring on
 # a 16-dim prefix cuts memory traffic 4× before IVF/PQ even start (and

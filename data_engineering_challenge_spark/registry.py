@@ -52,7 +52,7 @@ def register(
 # A correctness harness that samples a prefix of the registry (the
 # driver checks the first ~50) must see the queries with the least
 # accumulated evidence first. Rotated each round; round 8 fronts the
-# 3 new round-8 operators (no driver row ever), then the 19 queries
+# 5 new round-8 operators (no driver row ever), then the 19 queries
 # with no r6 OR r7 driver row (newest evidence is r5-era), then the
 # 50 whose newest row is r6, then the 50 r7-green. A ~50-row prefix
 # therefore refreshes every query older than two rounds, making the
@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_apply",
     "png_roundtrip_audit",
     "bpe_fertility_by_source",
+    "int8_quantization_audit",
     # -- no r6 or r7 driver row (newest evidence is r5) ----------------
     "orders_with_discounted_lines",
     "tx_per_store_salted",

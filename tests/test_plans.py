@@ -219,6 +219,7 @@ _BNLJ_BY_DESIGN = {
     "session_gap_profile",    # 1-row total-gap-count frame
     "funnel_conversion",      # 1-row x 1-row count frames
     "truncated_ann_recall",   # broadcast query batch x corpus scan (ann_topk twin)
+    "int8_quantization_audit",  # 1-row per-dim min/scale bounds frame
 }
 
 
