@@ -1176,6 +1176,32 @@ def build_pq_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
     return write_snapshot(coded, _os.path.join(table_dir, "codes"))
 
 
+def extend_pq_index(spark: SparkSession, table_dir: str, new_vectors: DataFrame) -> int:
+    """Fold NEW vectors into the stored IVF+PQ index — the ANN twin of
+    dedup.extend_minhash_index's nightly lifecycle: the delta batch
+    pays assignment + encoding against the FROZEN quantizers (the
+    centroid and codebook snapshots are read back, never retrained —
+    retraining would silently invalidate every stored code), and the
+    corpus side is a snapshot scan of already-encoded rows. Publishes
+    codes v+1; readers mid-search keep v (snapshot isolation); old
+    versions are reclaimed by sinks.versioned.vacuum_snapshots.
+    `new_vectors` is (vec_id, v: array<double>)."""
+    import os as _os
+
+    from ..sinks.versioned import read_snapshot, write_snapshot
+
+    cents = read_snapshot(spark, _os.path.join(table_dir, "cents"))
+    codebook = read_snapshot(spark, _os.path.join(table_dir, "codebook"))
+    codes = read_snapshot(spark, _os.path.join(table_dir, "codes"))
+    e = new_vectors.select("vec_id", "v", norm(F.col("v")).alias("nrm"))
+    delta = _assign_nearest(e, cents).select("vec_id", "cell").join(
+        _pq_codes_wide(_pq_encode(e, codebook)), "vec_id"
+    )
+    return write_snapshot(
+        codes.unionByName(delta), _os.path.join(table_dir, "codes")
+    )
+
+
 def _ivfpq_stride_centroids(e: DataFrame) -> DataFrame:
     n = F.count(F.lit(1))
     cells = F.greatest(

@@ -93,3 +93,49 @@ def test_pq_index_built_once_and_reused(spark, planted_sf_dir, tmp_path, monkeyp
     m2 = json.load(open(manifest))
     assert first == second
     assert m1 == m2 == {"latest": 1, "versions": [1]}
+
+
+def test_extend_pq_index_folds_delta_with_frozen_quantizers(
+    spark, planted_sf_dir, tmp_path, monkeypatch
+):
+    """The ANN index lifecycle: new vectors fold into codes v+1 encoded
+    against the FROZEN centroid/codebook snapshots (quantizer versions
+    unchanged); v1 stays readable; a delta vector planted on top of an
+    existing cluster member gets that member's cell and codes."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from data_engineering_challenge_spark.operators.similarity import (
+        build_pq_index,
+        extend_pq_index,
+        pq_index_dir,
+    )
+    from data_engineering_challenge_spark.sinks.versioned import read_snapshot
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    table_dir = pq_index_dir(planted_sf_dir)
+    assert build_pq_index(spark, planted_sf_dir, table_dir) == 1
+
+    # delta = two copies of existing corpus vectors under fresh ids
+    emb = spark.read.parquet(f"{planted_sf_dir}/embeddings.parquet")
+    src = emb.filter(F.col("vec_id").isin(3, 57)).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"),
+        F.col("embedding").cast("array<double>").alias("v"),
+    )
+    v2 = extend_pq_index(spark, table_dir, src)
+    assert v2 == 2
+
+    codes_dir = os.path.join(table_dir, "codes")
+    old = {r.vec_id: (r.cell, tuple(r.codes))
+           for r in read_snapshot(spark, codes_dir, version=1).collect()}
+    new = {r.vec_id: (r.cell, tuple(r.codes))
+           for r in read_snapshot(spark, codes_dir).collect()}
+    # corpus rows byte-identical, delta rows appended
+    assert {k: v for k, v in new.items() if k < 10_000} == old
+    assert new[10_003] == old[3] and new[10_057] == old[57]
+    # quantizers untouched: cents/codebook manifests still at v1
+    for part in ("cents", "codebook"):
+        m = json.load(open(os.path.join(table_dir, part, "manifest.json")))
+        assert m == {"latest": 1, "versions": [1]}

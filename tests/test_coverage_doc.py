@@ -46,6 +46,7 @@ def test_documented_query_names_exist():
         "extract_payload_meta_arrow", "resize_media", "asof_join",
         "extend_minhash_index", "build_minhash_index",
         "build_pq_index", "bpe_apply_merges", "check_bpe_bigsf",
+        "extend_pq_index", "vacuum_snapshots",
         "sql_runner", "check_oracle", "run_sql_cli", "oracle_sql",
         "data_engineering_challenge_spark",
     }
