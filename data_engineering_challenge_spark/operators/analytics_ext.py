@@ -510,25 +510,20 @@ def bpe_learn(spark: SparkSession, sf_dir: str) -> DataFrame:
     "owner which sources blow the token budget after a tokenizer "
     "freeze (web text compresses differently from code or tables). "
     "Exact integer sums (order-independent), double division once at "
-    "the end; the learn loop's final generation supplies the encoded "
-    "lengths without a second encode pass.",
+    "the end; encoded lengths come from the stored token-count "
+    "summary (build_bpe_artifacts — one learn/encode per corpus "
+    "version shared across consumers).",
     tags=("text", "iterative", "profiling", "extension"),
 )
 def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _merges, final = _bpe_learn_loop(spark, sf_dir)
     d = load_table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id", "source",
-        F.size(tokens(F.col("text"))).cast("bigint").alias("n_base"),
-    )
-    enc = final.select("doc_id", F.size("seq").cast("bigint").alias("n_bpe"))
-    per_doc = base.join(enc, "doc_id")
+    per_doc = _bpe_counts(spark, sf_dir).join(d.select("doc_id", "source"), "doc_id")
     return (
         per_doc.groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
-            F.sum("n_base").cast("bigint").alias("base_tokens"),
-            F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+            F.sum("n_base_tokens").cast("bigint").alias("base_tokens"),
+            F.sum("n_bpe_tokens").cast("bigint").alias("bpe_tokens"),
         )
         .select(
             "source", "n_docs", "base_tokens", "bpe_tokens",
@@ -549,24 +544,21 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "non-overlapping left-to-right, identical semantics to the learn "
     "loop's re-segmentation), reporting per-doc base vs encoded token "
     "counts and the compression ratio — the number a tokenizer freeze "
-    "is judged by. The learn loop's final generation IS the merge "
-    "table applied in rank order, so the registered query reports from "
-    "it without a second encode pass; the standalone encoder for a "
-    "FROZEN merge table is bpe_apply_merges (pytest-pinned equal). "
+    "is judged by. The tokenizer freeze is a STORED artifact: "
+    "build_bpe_artifacts publishes the merge table and the per-doc "
+    "token-count summary as versioned snapshots (the pq-codes "
+    "pattern), so this query and bpe_fertility_by_source read one "
+    "24 B/row summary scan instead of re-running six corpus passes "
+    "each; the standalone encoder for a frozen merge table is "
+    "bpe_apply_merges (pytest-pinned equal to the learn loop). "
     "Re-segmentation is linear per doc (match-flag string + one "
     "regexp_replace; see _bpe_resegment) — a 100k-token row encodes in "
     "bounded time, pinned by test_bpe_apply_long_doc_bounded_time.",
     tags=("text", "iterative", "extension"),
 )
 def bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _merges, final = _bpe_learn_loop(spark, sf_dir)
-    d = load_table(spark, sf_dir, "documents")
-    base = d.select(
-        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_base_tokens")
-    )
-    enc = final.select("doc_id", F.size("seq").cast("bigint").alias("n_bpe_tokens"))
     return (
-        base.join(enc, "doc_id")
+        _bpe_counts(spark, sf_dir)
         .select(
             "doc_id",
             "n_base_tokens",
@@ -620,6 +612,70 @@ def _bpe_resegment(df: DataFrame, lhs: str, rhs: str) -> DataFrame:
 
     out = F.filter(F.transform(F.col("seq"), emit), lambda x: x.isNotNull())
     return staged.select("doc_id", out.alias("seq"))
+
+
+def bpe_table_dir(sf_dir: str) -> str:
+    """Fingerprinted location of the stored tokenizer-freeze artifacts
+    for sf_dir's documents (same protocol as dedup.minhash_index_dir /
+    similarity.pq_index_dir): keyed on (path, mtime, size)."""
+    import hashlib
+    import tempfile
+
+    import os as _os
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = _os.stat(src)
+        fp_src = f"{_os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp_src = _os.path.abspath(src)
+    fp = hashlib.md5(fp_src.encode()).hexdigest()[:16]
+    base = _os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        _os.path.join(tempfile.gettempdir(), "spark_graft_minhash_index"),
+    )
+    return _os.path.join(base, "bpe_" + fp)
+
+
+def build_bpe_artifacts(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    """Run the learn loop ONCE and publish the tokenizer-freeze
+    artifacts as versioned snapshots: the merge table (the tokenizer)
+    and the per-doc token-count summary (doc_id, n_base_tokens,
+    n_bpe_tokens — the corpus-sized encode result, 24 B/row). The
+    reporting queries (bpe_apply, bpe_fertility_by_source) read the
+    summary scan instead of re-running six corpus passes each —
+    exactly the pq-codes pattern: encode once per corpus version,
+    reuse across consumers. Returns the summary's published version."""
+    import os as _os
+
+    from ..sinks.versioned import write_snapshot
+
+    merges, final = _bpe_learn_loop(spark, sf_dir)
+    mdf = spark.createDataFrame(
+        merges, schema="step int, lhs string, rhs string, freq bigint"
+    )
+    write_snapshot(mdf, _os.path.join(table_dir, "merges"))
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_base_tokens")
+    )
+    enc = final.select("doc_id", F.size("seq").cast("bigint").alias("n_bpe_tokens"))
+    return write_snapshot(
+        base.join(enc, "doc_id"), _os.path.join(table_dir, "counts")
+    )
+
+
+def _bpe_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_base_tokens, n_bpe_tokens) from the stored artifacts,
+    building them on first use."""
+    import os as _os
+
+    from ..sinks.versioned import read_snapshot
+
+    table_dir = bpe_table_dir(sf_dir)
+    if not _os.path.exists(_os.path.join(table_dir, "counts", "manifest.json")):
+        build_bpe_artifacts(spark, sf_dir, table_dir)
+    return read_snapshot(spark, _os.path.join(table_dir, "counts"))
 
 
 def bpe_apply_merges(

@@ -141,3 +141,48 @@ def test_bpe_apply_long_doc_bounded_time(spark, tmp_path_factory):
     elapsed = time.time() - t0
     assert rows == [(1, 100_000, 1563, 100_000 / 1563)]
     assert elapsed < 120, f"encode took {elapsed:.0f}s — re-segmentation regressed"
+
+
+def test_bpe_artifacts_built_once_and_shared(spark, tmp_path, monkeypatch):
+    """bpe_apply and bpe_fertility_by_source share ONE stored
+    tokenizer-freeze artifact: the first call publishes merges+counts
+    v1, later calls (either query) reuse it without a new version."""
+    import json
+    import os
+
+    from data_engineering_challenge_spark.operators.analytics_ext import (
+        bpe_apply,
+        bpe_fertility_by_source,
+        bpe_learn,
+        bpe_table_dir,
+    )
+    from data_engineering_challenge_spark.sinks.versioned import read_snapshot
+
+    corpus = tmp_path / "corpus"
+    corpus.mkdir()
+    pd.DataFrame(
+        [
+            {"doc_id": 1, "text": "a b a b c", "source": "web"},
+            {"doc_id": 2, "text": "a b c d", "source": "code"},
+        ]
+    ).to_parquet(corpus / "documents.parquet", index=False)
+    sf = str(corpus)
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    first = [tuple(r) for r in bpe_apply(spark, sf).collect()]
+    manifest = os.path.join(bpe_table_dir(sf), "counts", "manifest.json")
+    m1 = json.load(open(manifest))
+    fert = {r.source: (r.base_tokens, r.bpe_tokens)
+            for r in bpe_fertility_by_source(spark, sf).collect()}
+    second = [tuple(r) for r in bpe_apply(spark, sf).collect()]
+    m2 = json.load(open(manifest))
+    assert first == second == [(1, 5, 1, 5.0), (2, 4, 1, 4.0)]
+    assert fert == {"web": (5, 1), "code": (4, 1)}
+    assert m1 == m2 == {"latest": 1, "versions": [1]}
+    # the merge table snapshot matches a live bpe_learn run
+    stored = sorted(
+        tuple(r) for r in read_snapshot(
+            spark, os.path.join(bpe_table_dir(sf), "merges")
+        ).collect()
+    )
+    live = sorted(tuple(r) for r in bpe_learn(spark, sf).collect())
+    assert stored == live
