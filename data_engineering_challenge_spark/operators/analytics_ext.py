@@ -616,25 +616,10 @@ def _bpe_resegment(df: DataFrame, lhs: str, rhs: str) -> DataFrame:
 
 def bpe_table_dir(sf_dir: str) -> str:
     """Fingerprinted location of the stored tokenizer-freeze artifacts
-    for sf_dir's documents (same protocol as dedup.minhash_index_dir /
-    similarity.pq_index_dir): keyed on (path, mtime, size)."""
-    import hashlib
-    import tempfile
+    for sf_dir's documents (sinks/versioned.py fingerprint_dir)."""
+    from ..sinks.versioned import fingerprint_dir
 
-    import os as _os
-
-    src = _os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = _os.stat(src)
-        fp_src = f"{_os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        fp_src = _os.path.abspath(src)
-    fp = hashlib.md5(fp_src.encode()).hexdigest()[:16]
-    base = _os.environ.get(
-        "SPARK_GRAFT_INDEX_DIR",
-        _os.path.join(tempfile.gettempdir(), "spark_graft_minhash_index"),
-    )
-    return _os.path.join(base, "bpe_" + fp)
+    return fingerprint_dir(sf_dir, "documents", "bpe_")
 
 
 def build_bpe_artifacts(spark: SparkSession, sf_dir: str, table_dir: str) -> int:

@@ -596,26 +596,13 @@ def _grams_of(docs: DataFrame) -> DataFrame:
 
 
 def minhash_index_dir(sf_dir: str) -> str:
-    """Deterministic index location for a corpus, fingerprinted by the
-    documents file's (path, mtime, size) so a regenerated fixture
-    triggers a rebuild instead of serving a stale index."""
-    import hashlib
-    import tempfile
+    """Fingerprinted index location for sf_dir's documents table —
+    keyed on (path, mtime, size) so a regenerated fixture triggers a
+    rebuild instead of serving a stale index (sinks/versioned.py
+    fingerprint_dir)."""
+    from ..sinks.versioned import fingerprint_dir
 
-    import os as _os
-
-    src = _os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = _os.stat(src)
-        fp_src = f"{_os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        fp_src = _os.path.abspath(src)
-    fp = hashlib.md5(fp_src.encode()).hexdigest()[:16]
-    base = _os.environ.get(
-        "SPARK_GRAFT_INDEX_DIR",
-        _os.path.join(tempfile.gettempdir(), "spark_graft_minhash_index"),
-    )
-    return _os.path.join(base, fp)
+    return fingerprint_dir(sf_dir, "documents")
 
 
 def build_minhash_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:

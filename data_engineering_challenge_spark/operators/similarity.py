@@ -1131,26 +1131,11 @@ _IVFPQ_STRIDE_SQL = (
 
 def pq_index_dir(sf_dir: str) -> str:
     """Fingerprinted location of the stored IVF+PQ code table for
-    sf_dir's embeddings — same protocol as dedup.minhash_index_dir:
-    keyed on the source file's (path, mtime, size) so a regenerated
-    fixture rebuilds instead of serving stale codes."""
-    import hashlib
-    import tempfile
+    sf_dir's embeddings — same protocol as dedup.minhash_index_dir
+    (sinks/versioned.py fingerprint_dir)."""
+    from ..sinks.versioned import fingerprint_dir
 
-    import os as _os
-
-    src = _os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = _os.stat(src)
-        fp_src = f"{_os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}"
-    except OSError:
-        fp_src = _os.path.abspath(src)
-    fp = hashlib.md5(fp_src.encode()).hexdigest()[:16]
-    base = _os.environ.get(
-        "SPARK_GRAFT_INDEX_DIR",
-        _os.path.join(tempfile.gettempdir(), "spark_graft_minhash_index"),
-    )
-    return _os.path.join(base, "pq_" + fp)
+    return fingerprint_dir(sf_dir, "embeddings", "pq_")
 
 
 def build_pq_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:

@@ -78,6 +78,31 @@ def rollback(table_dir: str, version: int) -> None:
     _publish_manifest(table_dir, m)
 
 
+def fingerprint_dir(sf_dir: str, source_table: str, prefix: str = "") -> str:
+    """Fingerprinted artifact location for a derived index/snapshot of
+    `sf_dir`'s `source_table`: keyed on the source file's (path, mtime,
+    size), so a regenerated fixture resolves to a FRESH directory
+    instead of serving stale derived data — the one failure mode a
+    fingerprinted path exists to prevent. Base dir comes from
+    SPARK_GRAFT_INDEX_DIR (default: a tmp-dir namespace); `prefix`
+    namespaces different artifact kinds over the same source."""
+    import hashlib
+    import tempfile
+
+    src = os.path.join(sf_dir, f"{source_table}.parquet")
+    try:
+        st = os.stat(src)
+        fp_src = f"{os.path.abspath(src)}:{st.st_mtime_ns}:{st.st_size}"
+    except OSError:
+        fp_src = os.path.abspath(src)
+    fp = hashlib.md5(fp_src.encode()).hexdigest()[:16]
+    base = os.environ.get(
+        "SPARK_GRAFT_INDEX_DIR",
+        os.path.join(tempfile.gettempdir(), "spark_graft_minhash_index"),
+    )
+    return os.path.join(base, prefix + fp)
+
+
 def history(table_dir: str) -> dict:
     """{'latest': N, 'versions': [...]} — the table's version log."""
     return _read_manifest(table_dir)
