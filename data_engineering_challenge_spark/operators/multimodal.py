@@ -710,3 +710,140 @@ def extract_payload_meta_arrow(df: DataFrame, id_col: str, payload_col: str) -> 
             )
 
     return df.select(id_col, payload_col).mapInArrow(op, schema=META_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAV codec (round 8): the AUDIO sibling of the BMP/PNG codecs. RIFF
+# framing + 16-bit little-endian PCM is pure `struct` — no codec
+# library involved — so the decode -> resample -> re-encode path is
+# REAL bytes end-to-end while the brief's env gate stays honest for
+# genuinely compressed audio (mp3/aac remain NotImplementedError via
+# decode_media).
+
+
+def encode_wav(sample_rate: int, samples: list[int]) -> bytes:
+    """Encode mono 16-bit PCM WAV (RIFF/WAVE, fmt + data chunks)."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16)
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(payload: bytes) -> tuple[int, list[int]]:
+    """Decode mono 16-bit PCM WAV to (sample_rate, samples). Walks the
+    chunk list (chunks are word-aligned), so encoders that emit extra
+    chunks (LIST/fact) still parse."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(payload):
+        typ = payload[pos : pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8 : pos + 8 + size]
+        if typ == b"fmt ":
+            audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)
+            if (audio_fmt, channels, bits) != (1, 1, 16):
+                raise ValueError(
+                    f"unsupported WAV: fmt={audio_fmt} ch={channels} bits={bits}"
+                )
+        elif typ == b"data":
+            samples = list(struct.unpack(f"<{size // 2}h", body[: size // 2 * 2]))
+        pos += 8 + size + (size & 1)  # chunks are 2-byte aligned
+    if rate is None or samples is None:
+        raise ValueError("missing fmt or data chunk")
+    return rate, samples
+
+
+def resample_nearest(samples: list[int], ratio: float = 0.5) -> list[int]:
+    """Nearest-neighbor downsample: output i takes input floor(i/ratio)
+    (the 1-D twin of resize_nearest: out[i] = in[2*i] at ratio 0.5)."""
+    n = max(1, int(len(samples) * ratio))
+    step = len(samples) / n
+    return [samples[int(i * step)] for i in range(n)]
+
+
+WAV_AUDIT_SCHEMA = (
+    "doc_id bigint, sample_rate int, n_samples int, new_rate int, "
+    "new_n_samples int, abs_sum bigint, peak bigint"
+)
+
+
+@register(
+    "wav_roundtrip_audit",
+    oracle="""
+        WITH params AS (
+            SELECT doc_id,
+                   CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+                   CAST(16 + doc_id % 241 AS INT) AS n_samples,
+                   257 + doc_id % 64 AS step
+            FROM documents
+        ),
+        ex AS (
+            SELECT doc_id, sample_rate, n_samples, step,
+                   unnest(range(0, n_samples // 2)) AS i
+            FROM params
+        ),
+        vals AS (
+            SELECT doc_id, sample_rate, n_samples,
+                   (doc_id * 131 + (2 * i) * step) % 65536 - 32768 AS s
+            FROM ex
+        )
+        SELECT doc_id, sample_rate, n_samples,
+               CAST(sample_rate // 2 AS INT) AS new_rate,
+               CAST(n_samples // 2 AS INT) AS new_n_samples,
+               CAST(SUM(ABS(s)) AS BIGINT) AS abs_sum,
+               CAST(MAX(ABS(s)) AS BIGINT) AS peak
+        FROM vals
+        GROUP BY doc_id, sample_rate, n_samples
+        ORDER BY doc_id
+    """,
+    doc="END-TO-END audio decode audit on the pure-stdlib WAV codec: "
+    "per doc, synthesize a real mono 16-bit PCM WAV (rate, length and "
+    "an integer sawtooth waveform derived from doc_id), DECODE it, "
+    "nearest-neighbor downsample 0.5x, re-encode at half the rate, "
+    "re-decode, and report the rates/lengths plus abs-sum and peak of "
+    "the re-decoded samples. Every value passes through actual RIFF "
+    "bytes twice (chunk walk, word alignment, int16 packing), while "
+    "staying relationally replayable: resampled sample i is source "
+    "sample 2i, an integer formula the oracle reproduces. Arrow-"
+    "batched mapInPandas, zero shuffle, payloads never leave executors.",
+    tags=("multimodal", "udf", "extension"),
+)
+def wav_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [], "sample_rate": [], "n_samples": [],
+                "new_rate": [], "new_n_samples": [], "abs_sum": [], "peak": [],
+            }
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rate = 8000 + (did % 4) * 4000
+                n = 16 + did % 241
+                step = 257 + did % 64
+                wave = [(did * 131 + i * step) % 65536 - 32768 for i in range(n)]
+                drate, dsamples = decode_wav(encode_wav(rate, wave))
+                down = resample_nearest(dsamples, 0.5)
+                rrate, rsamples = decode_wav(encode_wav(drate // 2, down))
+                out["doc_id"].append(did)
+                out["sample_rate"].append(drate)
+                out["n_samples"].append(len(dsamples))
+                out["new_rate"].append(rrate)
+                out["new_n_samples"].append(len(rsamples))
+                out["abs_sum"].append(sum(abs(s) for s in rsamples))
+                out["peak"].append(max(abs(s) for s in rsamples))
+            yield pd.DataFrame(out)
+
+    return (
+        d.select("doc_id").mapInPandas(op, schema=WAV_AUDIT_SCHEMA).orderBy("doc_id")
+    )

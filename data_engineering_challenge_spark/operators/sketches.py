@@ -150,3 +150,88 @@ def approx_quantiles_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.col("approx_q50") - F.col("exact_q50")) <= 0.05 * F.col("rng")).alias("q50_ok"),
         (F.abs(F.col("approx_q90") - F.col("exact_q90")) <= 0.05 * F.col("rng")).alias("q90_ok"),
     ).orderBy("l_returnflag")
+
+
+# ---------------------------------------------------------------------------
+# Count-min heavy hitters over the document token stream
+
+# Width = ceil(2/eps) = 20,000 counters; depth = ceil(ln(1/(1-conf)))
+# = 7 rows. ~1.1 MB sketch regardless of corpus size, mergeable cell-
+# wise across partitions (order-independent exact addition, so the
+# estimate is partition-invariant for a fixed seed).
+_CMS_EPS = 1e-4
+_CMS_CONF = 0.999
+_CMS_SEED = 42
+_CMS_TOPK = 20
+
+from ..functions.text import NORM_SQL as _NORM_SQL  # noqa: E402 — oracle twin
+
+_CMS_TOK_SQL = f"string_split({_NORM_SQL}, ' ')"
+# Acceptance gate: CMS never underestimates; the classic bound
+# overestimates by <= eps * stream_size with prob >= conf per probe.
+# Both sides of the check are deterministic for a fixed seed, so this
+# is a stable boolean, not a flaky one.
+
+
+@register(
+    "cms_frequency_check",
+    oracle=f"""
+        WITH toks AS (
+            SELECT unnest({_CMS_TOK_SQL}) AS token
+            FROM documents
+        )
+        SELECT token, COUNT(*) AS exact_count, TRUE AS cms_ok
+        FROM toks GROUP BY token
+        ORDER BY exact_count DESC, token ASC LIMIT {_CMS_TOPK}
+    """,
+    doc="Count-min-sketch heavy hitters over the corpus token stream: "
+    f"the exact top-{_CMS_TOPK} tokens are hash-compared across engines, and "
+    "the Spark-side CMS estimate for each is gated inside "
+    "[exact, exact + eps*N] (the Cormode-Muthukrishnan guarantee). "
+    "DuckDB has no CMS, so its gate column is the literal the bound "
+    "must produce - a Spark-side bound violation hash-mismatches the "
+    "row. The sketch is one fixed-memory mergeable pass: the 100-TB "
+    "path to 'how often does token X appear' without a vocabulary-"
+    "sized shuffle per probe.",
+    tags=("sketch", "text", "extension"),
+)
+def cms_frequency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..catalog import spread_scan
+    from ..functions.text import tokens
+
+    toks = (
+        spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+        .select(F.explode(tokens(F.col("text"))).alias("token"))
+    )
+    # One partial-agg shuffle for the exact counts; TakeOrdered for the
+    # top-k. The CMS is a second single-pass agg over the same scan -
+    # merged map-side, ~1.1 MB on the wire per partition.
+    top = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), F.col("token").asc())
+        .limit(_CMS_TOPK)
+        .collect()
+    )
+    blob, total = toks.agg(
+        F.count_min_sketch("token", F.lit(_CMS_EPS), F.lit(_CMS_CONF), F.lit(_CMS_SEED)).alias("cms"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    jvm = spark._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(bytes(blob))
+    )
+    bound = _CMS_EPS * total
+    rows = [
+        (
+            r["token"],
+            r["exact_count"],
+            bool(
+                r["exact_count"]
+                <= cms.estimateCount(r["token"])
+                <= r["exact_count"] + bound
+            ),
+        )
+        for r in top
+    ]
+    return spark.createDataFrame(rows, "token string, exact_count bigint, cms_ok boolean")

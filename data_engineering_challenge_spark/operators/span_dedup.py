@@ -1,0 +1,233 @@
+"""Exact substring (span-level) deduplication over the document corpus.
+
+Doc-level dedup (exact_dedup / minhash_lsh_pairs) drops whole
+documents; the remaining contamination in a training corpus is the
+*partial* overlap — boilerplate headers, quoted paragraphs, mirrored
+sections — that survives because the containing documents differ.
+The ExactSubstr pass of Lee et al., "Deduplicating Training Data
+Makes Language Models Better" (ACL 2022) removes any ≥50-token span
+that appears twice in the corpus; their implementation is a
+single-node suffix array, which does not shard.
+
+This module is the Spark-native equivalent at word granularity:
+
+1. positional K-grams — `posexplode` over the shared `word_ngrams`
+   chain gives (doc_id, p, gram) without sub-array copies;
+2. one shuffle on the 60-bit md5 gram key (`gh`, 8-byte shuffle key —
+   same collision surface as `decontaminate_split`, mirrored exactly
+   in the oracle) with THREE window aggregates over that one
+   exchange: postings count (hot-gram cap), min/max doc_id
+   (cross-doc test). A gram is *duplicated* iff it occurs in ≥2
+   distinct documents;
+3. per-document maximal spans — duplicated positions ≤ K apart merge
+   into one island (classic gaps-and-islands: lag + running sum), so
+   a span's token count is exactly `max_p − min_p + K` and distinct
+   islands are disjoint by construction (the next island starts > K
+   positions after the previous island's last gram start).
+
+Scale posture: step 2 is the only corpus-sized shuffle and its key is
+8 bytes/posting; the cap (`MAX_SPAN_GRAM_POSTINGS`, mirrored in the
+oracle) bounds the largest gh partition the same way the
+decontaminate boilerplate cap does, so a corpus-wide boilerplate gram
+cannot create a straggler. Step 3 partitions by doc_id — bounded by
+the longest document, not the corpus. A suffix array would find the
+same spans in O(n) on one machine and on zero machines at 100 TB.
+
+No reference counterpart (the reference has no text-dedup surface at
+all); modeled on Lee et al. §4.1 and the RefinedWeb/Dolma exact-span
+passes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..catalog import load_table, spread_scan
+from ..functions.text import tokens, word_ngrams
+from ..registry import register
+from .pipeline_ops import _TOK_SQL
+
+SPAN_K = 8  # span granularity: a duplicated run must contain a full K-gram
+# Hot-gram postings cap: grams occurring at more corpus positions than
+# this are boilerplate (language property, not corpus-size property —
+# the decontaminate MAX_GRAM_TRAIN_DF rationale, SCALING.md "Threshold
+# provenance"). Bounds the widest gh window partition.
+MAX_SPAN_GRAM_POSTINGS = 1000
+
+
+def _span_sql(inner_select: str) -> str:
+    """Shared oracle CTE chain: positional grams → duplicated positions
+    → maximal merged spans, ending in a `spans(doc_id, span_len)`
+    relation consumed by ``inner_select``."""
+    return f"""
+        WITH t AS (
+            SELECT doc_id, {_TOK_SQL} AS toks
+            FROM documents
+            WHERE len({_TOK_SQL}) >= {SPAN_K}
+        ), g AS (
+            SELECT doc_id,
+                   unnest(range(1, len(toks) - {SPAN_K - 2})) AS p,
+                   unnest(list_transform(range(1, len(toks) - {SPAN_K - 2}),
+                          i -> ('0x' || substr(md5(array_to_string(toks[i:i+{SPAN_K - 1}], ' ')), 1, 15))::BIGINT)) AS gh
+            FROM t
+        ), d AS (
+            SELECT doc_id, p FROM g
+            QUALIFY COUNT(*) OVER (PARTITION BY gh) <= {MAX_SPAN_GRAM_POSTINGS}
+               AND MIN(doc_id) OVER (PARTITION BY gh) <> MAX(doc_id) OVER (PARTITION BY gh)
+        ), isl AS (
+            SELECT doc_id, p,
+                   SUM(CASE WHEN gap IS NULL OR gap > {SPAN_K} THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+            FROM (SELECT doc_id, p,
+                         p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS gap
+                  FROM d)
+        ), spans AS (
+            SELECT doc_id, MAX(p) - MIN(p) + {SPAN_K} AS span_len
+            FROM isl GROUP BY doc_id, island
+        )
+        {inner_select}
+    """
+
+
+def _duplicate_position_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_len) of every maximal cross-doc duplicated span."""
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    tok = tokens(F.col("text"))
+    grams = (
+        d.select("doc_id", tok.alias("toks"))
+        .filter(F.size("toks") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(word_ngrams(F.col("toks"), SPAN_K)).alias("pos", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("bigint").alias("p"),
+            F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("gh"),
+        )
+    )
+    # One exchange on gh serves all three window aggregates (postings
+    # cap + cross-doc min/max) — the decontaminate single-exchange trick.
+    wg = Window.partitionBy("gh")
+    dup_positions = (
+        grams.withColumn("postings", F.count(F.lit(1)).over(wg))
+        .withColumn("dmin", F.min("doc_id").over(wg))
+        .withColumn("dmax", F.max("doc_id").over(wg))
+        .filter(
+            (F.col("postings") <= MAX_SPAN_GRAM_POSTINGS)
+            & (F.col("dmin") != F.col("dmax"))
+        )
+        .select("doc_id", "p")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    return (
+        dup_positions.withColumn("gap", F.col("p") - F.lag("p").over(wd))
+        .withColumn(
+            "new_island",
+            F.when(F.col("gap").isNull() | (F.col("gap") > SPAN_K), 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg((F.max("p") - F.min("p") + SPAN_K).alias("span_len"))
+        .select("doc_id", "span_len")
+    )
+
+
+@register(
+    "duplicate_spans",
+    oracle=_span_sql(
+        """
+        SELECT doc_id,
+               COUNT(*) AS n_spans,
+               SUM(span_len)::BIGINT AS dup_tokens,
+               MAX(span_len)::BIGINT AS longest_span
+        FROM spans GROUP BY doc_id ORDER BY doc_id
+        """
+    ),
+    doc=f"Exact substring dedup (Lee et al. 2022 ExactSubstr, word-level): "
+    f"per-document maximal spans whose every {SPAN_K}-gram also appears in "
+    "another document. One 8-byte-key shuffle over the positional grams "
+    "(hot-gram capped), then per-doc gaps-and-islands span merging.",
+    tags=("text", "dedup", "extension"),
+)
+def duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs containing cross-doc duplicated spans: span count, total
+    duplicated tokens (spans are disjoint, so the sum is exact), and
+    the longest single span."""
+    spans = _duplicate_position_spans(spark, sf_dir)
+    return (
+        spans.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_len").cast("bigint").alias("dup_tokens"),
+            F.max("span_len").cast("bigint").alias("longest_span"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "span_dedup_savings",
+    oracle=_span_sql(
+        f"""
+        , per_doc AS (
+            SELECT doc_id, SUM(span_len)::BIGINT AS dup_tokens
+            FROM spans GROUP BY doc_id
+        ), docs AS (
+            SELECT doc_id, source, len({_TOK_SQL})::BIGINT AS n_tokens
+            FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS n_docs,
+               COUNT(p.dup_tokens) AS docs_with_dup_spans,
+               SUM(d.n_tokens)::BIGINT AS total_tokens,
+               COALESCE(SUM(p.dup_tokens), 0)::BIGINT AS dup_tokens,
+               COALESCE(SUM(p.dup_tokens), 0)::DOUBLE / SUM(d.n_tokens)::DOUBLE
+                   AS dup_token_frac
+        FROM docs d LEFT JOIN per_doc p USING (doc_id)
+        GROUP BY source ORDER BY source
+        """
+    ),
+    doc="Corpus-level payoff of exact-span dedup, rolled up by source: "
+    "what fraction of each source's tokens sits inside cross-doc "
+    "duplicated spans. The span frame aggregates to one row per "
+    "affected doc before the source join, so the join's small side is "
+    "duplicate-doc-sized and AQE broadcasts it.",
+    tags=("text", "dedup", "profiling", "extension"),
+)
+def span_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplicated-token share under exact-span dedup."""
+    per_doc = (
+        _duplicate_position_spans(spark, sf_dir)
+        .groupBy("doc_id")
+        .agg(F.sum("span_len").cast("bigint").alias("dup_tokens"))
+    )
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id").select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    agg = (
+        docs.join(per_doc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count("dup_tokens").alias("docs_with_dup_spans"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.coalesce(F.sum("dup_tokens"), F.lit(0)).cast("bigint").alias("dup_tokens"),
+        )
+    )
+    return agg.select(
+        "source",
+        "n_docs",
+        "docs_with_dup_spans",
+        "total_tokens",
+        "dup_tokens",
+        (F.col("dup_tokens").cast("double") / F.col("total_tokens").cast("double")).alias(
+            "dup_token_frac"
+        ),
+    ).orderBy("source")

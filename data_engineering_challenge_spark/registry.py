@@ -52,7 +52,7 @@ def register(
 # A correctness harness that samples a prefix of the registry (the
 # driver checks the first ~50) must see the queries with the least
 # accumulated evidence first. Rotated each round; round 8 fronts the
-# 5 new round-8 operators (no driver row ever), then the 19 queries
+# 9 new round-8 operators (no driver row ever), then the 19 queries
 # with no r6 OR r7 driver row (newest evidence is r5-era), then the
 # 50 whose newest row is r6, then the 50 r7-green. A ~50-row prefix
 # therefore refreshes every query older than two rounds, making the
@@ -60,6 +60,10 @@ def register(
 # Pure iteration order - membership and semantics are unchanged.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 8 (no driver row ever) --------------------------
+    "duplicate_spans",
+    "span_dedup_savings",
+    "cms_frequency_check",
+    "wav_roundtrip_audit",
     "ann_ivfpq_topk",
     "bpe_apply",
     "png_roundtrip_audit",
@@ -288,6 +292,7 @@ def _load_all() -> None:
         relational_ext,
         similarity,
         sketches,
+        span_dedup,
         temporal,
         text_analysis,
         tpch_more,

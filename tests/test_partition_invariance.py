@@ -30,6 +30,7 @@ REPRESENTATIVES = (
     "dedup_retention_plan", # CC labels + max_by retention policy
     "ann_ivfpq_topk",       # stored-index probe + ADC rerank (r8)
     "bpe_apply",            # linear re-segmentation encode (r8)
+    "duplicate_spans",      # gh-window dup test + gaps-and-islands merge (r8)
 )
 
 
