@@ -64,6 +64,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "span_dedup_savings",
     "cms_frequency_check",
     "wav_roundtrip_audit",
+    "hll_rollup_check",
     "ann_ivfpq_topk",
     "bpe_apply",
     "png_roundtrip_audit",
