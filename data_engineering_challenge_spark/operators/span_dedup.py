@@ -56,10 +56,13 @@ SPAN_K = 8  # span granularity: a duplicated run must contain a full K-gram
 MAX_SPAN_GRAM_POSTINGS = 1000
 
 
-def _span_sql(inner_select: str) -> str:
+def _span_sql(inner_select: str, removable_only: bool = False) -> str:
     """Shared oracle CTE chain: positional grams → duplicated positions
     → maximal merged spans, ending in a `spans(doc_id, span_len)`
     relation consumed by ``inner_select``."""
+    removal = (
+        "AND doc_id <> MIN(doc_id) OVER (PARTITION BY gh)" if removable_only else ""
+    )
     return f"""
         WITH t AS (
             SELECT doc_id, {_TOK_SQL} AS toks
@@ -75,6 +78,7 @@ def _span_sql(inner_select: str) -> str:
             SELECT doc_id, p FROM g
             QUALIFY COUNT(*) OVER (PARTITION BY gh) <= {MAX_SPAN_GRAM_POSTINGS}
                AND MIN(doc_id) OVER (PARTITION BY gh) <> MAX(doc_id) OVER (PARTITION BY gh)
+               {removal}
         ), isl AS (
             SELECT doc_id, p,
                    SUM(CASE WHEN gap IS NULL OR gap > {SPAN_K} THEN 1 ELSE 0 END)
@@ -90,8 +94,16 @@ def _span_sql(inner_select: str) -> str:
     """
 
 
-def _duplicate_position_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, span_len) of every maximal cross-doc duplicated span."""
+def _duplicate_position_spans(
+    spark: SparkSession, sf_dir: str, removable_only: bool = False
+) -> DataFrame:
+    """(doc_id, span_len) of every maximal cross-doc duplicated span.
+
+    With ``removable_only`` the position filter additionally demands
+    ``doc_id != min(doc_id) over the gram`` — the Lee et al. removal
+    policy: every duplicated gram survives in exactly its lowest-id
+    owner, so the returned spans are the ones a rewrite pass would cut.
+    """
     d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     tok = tokens(F.col("text"))
     grams = (
@@ -112,14 +124,16 @@ def _duplicate_position_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     # One exchange on gh serves all three window aggregates (postings
     # cap + cross-doc min/max) — the decontaminate single-exchange trick.
     wg = Window.partitionBy("gh")
+    keep = (F.col("postings") <= MAX_SPAN_GRAM_POSTINGS) & (
+        F.col("dmin") != F.col("dmax")
+    )
+    if removable_only:
+        keep = keep & (F.col("doc_id") != F.col("dmin"))
     dup_positions = (
         grams.withColumn("postings", F.count(F.lit(1)).over(wg))
         .withColumn("dmin", F.min("doc_id").over(wg))
         .withColumn("dmax", F.max("doc_id").over(wg))
-        .filter(
-            (F.col("postings") <= MAX_SPAN_GRAM_POSTINGS)
-            & (F.col("dmin") != F.col("dmax"))
-        )
+        .filter(keep)
         .select("doc_id", "p")
     )
     wd = Window.partitionBy("doc_id").orderBy("p")
@@ -231,3 +245,60 @@ def span_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_token_frac"
         ),
     ).orderBy("source")
+
+
+@register(
+    "span_removal_plan",
+    oracle=_span_sql(
+        f"""
+        , per_doc AS (
+            SELECT doc_id,
+                   COUNT(*) AS n_cut_spans,
+                   SUM(span_len)::BIGINT AS tokens_removed
+            FROM spans GROUP BY doc_id
+        )
+        SELECT d.doc_id, n_cut_spans, tokens_removed,
+               len({_TOK_SQL})::BIGINT AS n_tokens,
+               tokens_removed::DOUBLE / len({_TOK_SQL})::DOUBLE AS removed_frac
+        FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+        ORDER BY d.doc_id
+        """,
+        removable_only=True,
+    ),
+    doc="The actionable half of exact-span dedup (Lee et al.'s 'remove "
+    "all but one occurrence'): per document, the maximal spans a "
+    "rewrite pass would CUT under the keep-lowest-doc_id policy — "
+    "every duplicated gram survives in exactly its owner doc, so the "
+    "cleaned corpus keeps one copy of every span. Same two-shuffle "
+    "plan as duplicate_spans; the ownership test is one more window "
+    "aggregate over the existing gh exchange.",
+    tags=("text", "dedup", "extension"),
+)
+def span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc removal plan: spans to cut, tokens removed, and the
+    removed fraction of the doc."""
+    per_doc = (
+        _duplicate_position_spans(spark, sf_dir, removable_only=True)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_cut_spans"),
+            F.sum("span_len").cast("bigint").alias("tokens_removed"),
+        )
+    )
+    docs = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    return (
+        per_doc.join(docs, "doc_id")
+        .select(
+            "doc_id",
+            "n_cut_spans",
+            "tokens_removed",
+            "n_tokens",
+            (
+                F.col("tokens_removed").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("removed_frac"),
+        )
+        .orderBy("doc_id")
+    )

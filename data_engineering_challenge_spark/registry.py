@@ -65,6 +65,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "cms_frequency_check",
     "wav_roundtrip_audit",
     "hll_rollup_check",
+    "span_removal_plan",
     "ann_ivfpq_topk",
     "bpe_apply",
     "png_roundtrip_audit",

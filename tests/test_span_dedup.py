@@ -122,3 +122,14 @@ def test_hot_gram_cap_drops_boilerplate(spark, tmp_path_factory, monkeypatch):
     assert sd.duplicate_spans(spark, path).count() == 3  # sanity: cap not binding
     monkeypatch.setattr(sd, "MAX_SPAN_GRAM_POSTINGS", 2)
     assert sd.duplicate_spans(spark, path).count() == 0
+
+
+def test_removal_plan_keeps_owner_copy(spark, corpus_dir):
+    got = {r["doc_id"]: r for r in sd.span_removal_plan(spark, corpus_dir).collect()}
+    # ownership = lowest doc_id sharing the gram: doc0 and doc2 are
+    # owners and must NOT appear; doc1 and doc3 get cut
+    assert set(got) == {1, 3}
+    assert got[1]["tokens_removed"] == 20 and got[1]["n_cut_spans"] == 1
+    assert got[1]["n_tokens"] == 24
+    assert got[1]["removed_frac"] == pytest.approx(20 / 24)
+    assert got[3]["tokens_removed"] == 8
