@@ -933,3 +933,114 @@ def vocab_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Source-vs-corpus token drift (round 8): distribution monitoring
+
+_DRIFT_TOPK = 100  # drift measured over the corpus top-K tokens
+
+
+@register(
+    "source_token_drift",
+    oracle=f"""
+        WITH toks AS (
+            SELECT source, unnest({_TOK_SQL}) AS token FROM documents
+        ), corpus AS (
+            SELECT token, COUNT(*) AS c_t FROM toks GROUP BY token
+        ), top AS (
+            SELECT token, c_t FROM corpus
+            ORDER BY c_t DESC, token ASC LIMIT {_DRIFT_TOPK}
+        ), per_source AS (
+            SELECT source, COUNT(*) AS n_tokens FROM toks GROUP BY source
+        ), n AS (
+            -- corpus total from the 20-row source rollup, not a third scan
+            SELECT SUM(n_tokens)::BIGINT AS big_n FROM per_source
+        ), obs AS (
+            SELECT source, token, COUNT(*) AS o
+            FROM toks SEMI JOIN top USING (token)
+            GROUP BY source, token
+        ), grid AS (
+            SELECT s.source, s.n_tokens, t.token, t.c_t, n.big_n,
+                   ABS(COALESCE(o.o, 0) * n.big_n - t.c_t * s.n_tokens)
+                       AS dev
+            FROM per_source s CROSS JOIN top t CROSS JOIN n
+            LEFT JOIN obs o ON o.source = s.source AND o.token = t.token
+        ), worst AS (
+            SELECT source, token AS top_divergent_token
+            FROM grid
+            QUALIFY ROW_NUMBER() OVER (
+                PARTITION BY source ORDER BY dev DESC, token ASC) = 1
+        )
+        SELECT g.source, MAX(g.n_tokens) AS n_tokens,
+               CAST(SUM(g.dev) AS DOUBLE)
+                   / (MAX(g.big_n)::DOUBLE * MAX(g.n_tokens)::DOUBLE)
+                   AS drift_l1,
+               MAX(w.top_divergent_token) AS top_divergent_token
+        FROM grid g JOIN worst w ON g.source = w.source
+        GROUP BY g.source ORDER BY g.source
+    """,
+    doc=f"Per-source token-distribution drift vs the whole corpus: L1 "
+    f"distance over the corpus top-{_DRIFT_TOPK} tokens plus the single "
+    "most divergent token. The mixture-monitoring gate for a training "
+    "corpus - a source whose token mix shifts (new boilerplate, "
+    "encoding bug, scraper drift) surfaces here before it poisons a "
+    "tokenizer freeze. The statistic is assembled in EXACT integer "
+    "arithmetic (|obs*N - c_t*n_s|, one double division at the end), "
+    "so there is no float-summation-order sensitivity across engines "
+    "or partitionings. Cost: one token-key shuffle for corpus counts, "
+    "one source-key shuffle for totals, and a top-K-filtered "
+    "(broadcast semi-join) source x token count; the grid itself is "
+    "|sources| x K rows.",
+    tags=("text", "profiling", "extension"),
+)
+def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source drift: (source, n_tokens, drift_l1, top_divergent_token)."""
+    from pyspark.sql import Window
+
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    toks = d.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+    corpus = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_t"))
+    top = corpus.orderBy(F.col("c_t").desc(), F.col("token").asc()).limit(_DRIFT_TOPK)
+    per_source = toks.groupBy("source").agg(F.count(F.lit(1)).alias("n_tokens"))
+    # corpus total from the |sources|-row rollup — not a third token scan
+    big_n = per_source.agg(F.sum("n_tokens").cast("bigint").alias("big_n"))
+    obs = (
+        toks.join(F.broadcast(top.select("token")), "token", "semi")
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    grid = (
+        per_source.crossJoin(F.broadcast(top))
+        .crossJoin(F.broadcast(big_n))
+        .join(obs, ["source", "token"], "left")
+        .select(
+            "source",
+            "n_tokens",
+            "token",
+            "big_n",
+            F.abs(
+                F.coalesce(F.col("o"), F.lit(0)) * F.col("big_n")
+                - F.col("c_t") * F.col("n_tokens")
+            ).alias("dev"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.col("dev").desc(), F.col("token").asc())
+    worst = (
+        grid.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("source", F.col("token").alias("top_divergent_token"))
+    )
+    return (
+        grid.join(worst, "source")
+        .groupBy("source")
+        .agg(
+            F.max("n_tokens").alias("n_tokens"),
+            (
+                F.sum("dev").cast("double")
+                / (F.max("big_n").cast("double") * F.max("n_tokens").cast("double"))
+            ).alias("drift_l1"),
+            F.max("top_divergent_token").alias("top_divergent_token"),
+        )
+        .orderBy("source")
+    )

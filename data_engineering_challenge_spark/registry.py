@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "wav_roundtrip_audit",
     "hll_rollup_check",
     "span_removal_plan",
+    "source_token_drift",
     "ann_ivfpq_topk",
     "bpe_apply",
     "png_roundtrip_audit",
