@@ -302,3 +302,169 @@ def span_removal_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental span dedup: delta batch vs a FROZEN gram-postings index
+# (the minhash-index nightly lifecycle, now at span granularity).
+
+
+def _positional_grams(docs: DataFrame) -> DataFrame:
+    """(doc_id, p, gh) positional K-grams of an arbitrary doc frame."""
+    tok = tokens(F.col("text"))
+    return (
+        docs.select("doc_id", tok.alias("toks"))
+        .filter(F.size("toks") >= SPAN_K)
+        .select(
+            "doc_id",
+            F.posexplode(word_ngrams(F.col("toks"), SPAN_K)).alias("pos", "gram"),
+        )
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("bigint").alias("p"),
+            F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("gh"),
+        )
+    )
+
+
+def span_index_dir(sf_dir: str) -> str:
+    """Fingerprinted gram-index location for sf_dir's documents table
+    (fresh dir when the fixture regenerates — sinks/versioned.py)."""
+    from ..sinks.versioned import fingerprint_dir
+
+    return fingerprint_dir(sf_dir, "documents", prefix="spangrams_")
+
+
+def build_span_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    """Publish the frozen-corpus gram-postings table — (gh, postings,
+    is_delta=false), one row per DISTINCT gram hash of the corpus
+    buckets (< INCR_DELTA_FROM) — as a versioned snapshot. Positions
+    are NOT stored: the delta probe only needs corpus membership and
+    the postings count for the hot-gram cap, so the index is
+    distinct-gram-sized (~16 B/row). Returns the published version."""
+    from ..sinks.versioned import write_snapshot
+    from .dedup import INCR_DELTA_FROM, _incr_bucket
+
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    corpus = d.filter(_incr_bucket(F.col("doc_id")) < INCR_DELTA_FROM)
+    idx = (
+        _positional_grams(corpus)
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("postings"))
+        .withColumn("is_delta", F.lit(False))
+    )
+    return write_snapshot(idx, table_dir)
+
+
+def extend_span_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    """Fold the CURRENT delta batch's gram postings into snapshot v+1.
+    The corpus side is read from the existing snapshot (never
+    re-tokenized) and filtered to its is_delta=false rows, so the fold
+    is idempotent: re-running on an unchanged documents file replaces
+    the delta rows instead of double-counting them (the same hazard
+    the minhash fold guards with its bucket filter). Delta rows are
+    marked is_delta=true; a FULL-corpus consumer aggregates postings
+    over both, while the incremental probe keeps reading the pure
+    corpus rows of any version (snapshot isolation)."""
+    from ..sinks.versioned import read_snapshot, write_snapshot
+    from .dedup import INCR_DELTA_FROM, _incr_bucket
+
+    corpus_idx = read_snapshot(spark, table_dir).filter(~F.col("is_delta"))
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    delta = d.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
+    delta_idx = (
+        _positional_grams(delta)
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("postings"))
+        .withColumn("is_delta", F.lit(True))
+    )
+    return write_snapshot(corpus_idx.unionByName(delta_idx), table_dir)
+
+
+from .dedup import INCR_DELTA_FROM as _INCR_FROM  # noqa: E402 — shared split
+from .dedup import _INCR_BUCKET_SQL  # noqa: E402 — oracle twin of _incr_bucket
+
+
+@register(
+    "incremental_duplicate_spans",
+    oracle=_span_sql(
+        f"""
+        SELECT doc_id,
+               COUNT(*) AS n_spans,
+               SUM(span_len)::BIGINT AS dup_tokens,
+               MAX(span_len)::BIGINT AS longest_span
+        FROM spans
+        WHERE {_INCR_BUCKET_SQL} >= {_INCR_FROM}
+        GROUP BY doc_id ORDER BY doc_id
+        """
+    ),
+    doc="Exact-span dedup of a NEW document batch (md5-salted buckets "
+    ">= 90) against a FROZEN gram-postings index of the other 90%, "
+    "built once via build_span_index and read back as a versioned-"
+    "snapshot scan — the corpus is never re-tokenized. EXACTLY "
+    "equivalent to duplicate_spans restricted to delta docs: a delta "
+    "position is duplicated iff corpus postings > 0 (cross-doc is "
+    "automatic — delta and corpus are disjoint) or two delta docs "
+    "share the gram, under the combined corpus+delta postings cap — "
+    "the same predicate the full run evaluates, which is what the "
+    "oracle replays. Nightly cost is O(delta) tokenization plus a "
+    "distinct-gram index scan, not O(corpus); extend_span_index folds "
+    "the delta into v+1 idempotently.",
+    tags=("text", "dedup", "incremental", "extension"),
+)
+def incremental_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os as _os
+
+    from ..sinks.versioned import read_snapshot
+    from .dedup import INCR_DELTA_FROM, _incr_bucket
+
+    table_dir = span_index_dir(sf_dir)
+    if not _os.path.exists(_os.path.join(table_dir, "manifest.json")):
+        build_span_index(spark, sf_dir, table_dir)
+    # is_delta filter: after extend_span_index folds the delta into
+    # v+1, the latest snapshot also holds delta postings — adding them
+    # to the freshly computed delta counts would double-count.
+    corpus_idx = read_snapshot(spark, table_dir).filter(~F.col("is_delta")).select(
+        "gh", F.col("postings").alias("cpost")
+    )
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    delta = d.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
+    grams = _positional_grams(delta)
+    # Window over the DELTA grams (one gh exchange, delta-sized), then
+    # a gh join against the index scan for the corpus contribution.
+    wg = Window.partitionBy("gh")
+    probed = (
+        grams.withColumn("dpost", F.count(F.lit(1)).over(wg))
+        .withColumn("dmin", F.min("doc_id").over(wg))
+        .withColumn("dmax", F.max("doc_id").over(wg))
+        .join(corpus_idx, "gh", "left")
+        .withColumn("cpost", F.coalesce(F.col("cpost"), F.lit(0)))
+        .filter(
+            (F.col("cpost") + F.col("dpost") <= MAX_SPAN_GRAM_POSTINGS)
+            & ((F.col("cpost") > 0) | (F.col("dmin") != F.col("dmax")))
+        )
+        .select("doc_id", "p")
+    )
+    wd = Window.partitionBy("doc_id").orderBy("p")
+    return (
+        probed.withColumn("gap", F.col("p") - F.lag("p").over(wd))
+        .withColumn(
+            "new_island",
+            F.when(F.col("gap").isNull() | (F.col("gap") > SPAN_K), 1).otherwise(0),
+        )
+        .withColumn(
+            "island",
+            F.sum("new_island").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "island")
+        .agg((F.max("p") - F.min("p") + SPAN_K).alias("span_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum("span_len").cast("bigint").alias("dup_tokens"),
+            F.max("span_len").cast("bigint").alias("longest_span"),
+        )
+        .orderBy("doc_id")
+    )

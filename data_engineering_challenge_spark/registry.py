@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "hll_rollup_check",
     "span_removal_plan",
     "source_token_drift",
+    "incremental_duplicate_spans",
     "ann_ivfpq_topk",
     "bpe_apply",
     "png_roundtrip_audit",
