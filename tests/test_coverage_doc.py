@@ -47,6 +47,7 @@ def test_documented_query_names_exist():
         "extend_minhash_index", "build_minhash_index",
         "build_pq_index", "bpe_apply_merges", "check_bpe_bigsf",
         "extend_pq_index", "vacuum_snapshots",
+        "build_span_index", "extend_span_index", "hll_union_agg",
         "sql_runner", "check_oracle", "run_sql_cli", "oracle_sql",
         "data_engineering_challenge_spark",
     }

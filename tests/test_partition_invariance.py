@@ -31,6 +31,8 @@ REPRESENTATIVES = (
     "ann_ivfpq_topk",       # stored-index probe + ADC rerank (r8)
     "bpe_apply",            # linear re-segmentation encode (r8)
     "duplicate_spans",      # gh-window dup test + gaps-and-islands merge (r8)
+    "source_token_drift",   # exact-integer L1 drift, one final division (r8)
+    "hll_rollup_check",     # merge-order-invariant sketch union (r8)
 )
 
 
