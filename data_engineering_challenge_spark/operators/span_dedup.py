@@ -417,21 +417,32 @@ from .dedup import _INCR_BUCKET_SQL  # noqa: E402 — oracle twin of _incr_bucke
 def incremental_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os as _os
 
-    from ..sinks.versioned import read_snapshot
     from .dedup import INCR_DELTA_FROM, _incr_bucket
 
     table_dir = span_index_dir(sf_dir)
     if not _os.path.exists(_os.path.join(table_dir, "manifest.json")):
         build_span_index(spark, sf_dir, table_dir)
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    delta = d.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
+    return incremental_span_probe(spark, table_dir, delta)
+
+
+def incremental_span_probe(
+    spark: SparkSession, table_dir: str, delta_docs: DataFrame
+) -> DataFrame:
+    """Span-dedup an arbitrary delta doc frame against the frozen gram
+    index at `table_dir` — the probe body shared by the registered
+    batch query and the streaming landing-zone filter (which calls it
+    per micro-batch via foreachBatch, delta := trigger batch)."""
+    from ..sinks.versioned import read_snapshot
+
     # is_delta filter: after extend_span_index folds the delta into
     # v+1, the latest snapshot also holds delta postings — adding them
     # to the freshly computed delta counts would double-count.
     corpus_idx = read_snapshot(spark, table_dir).filter(~F.col("is_delta")).select(
         "gh", F.col("postings").alias("cpost")
     )
-    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    delta = d.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
-    grams = _positional_grams(delta)
+    grams = _positional_grams(delta_docs)
     # Window over the DELTA grams (one gh exchange, delta-sized), then
     # a gh join against the index scan for the corpus contribution.
     wg = Window.partitionBy("gh")

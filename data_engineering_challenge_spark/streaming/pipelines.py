@@ -498,3 +498,72 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(_stream_dir_for(f"{sf_dir}/documents.parquet", schema.simpleString()))
     )
     return landing_dedup_transform(spark, sf_dir, raw)
+
+
+def run_incremental_span_filter(
+    spark: SparkSession, sf_dir: str, out_path: str, checkpoint: str
+) -> None:
+    """Landing-zone exact-SPAN filter: streamed delta documents probed
+    per micro-batch against the FROZEN gram-postings index
+    (operators/span_dedup.py), maintaining a queryable per-doc span
+    table at `out_path`.
+
+    Span merging needs per-doc ordered windows — batch-only operators —
+    so the probe runs inside foreachBatch (Spark's documented escape
+    hatch for batch-only ops in a stream): each trigger executes
+    incremental_span_probe with delta := that trigger's docs. The
+    contract is therefore PER-TRIGGER equivalence to the batch
+    incremental_duplicate_spans — pinned in tests by comparing a
+    2-trigger run against per-slice batch runs. Cross-trigger
+    delta-delta spans are out of scope (exactly the stream/batch split
+    incremental_dedup_stream documents); the nightly fold
+    (extend_span_index) makes them visible to the next day's probe.
+
+    Restart safety: foreachBatch re-delivers a batch only after
+    failure, and the sink is an idempotent keyed upsert (merge_upsert
+    on doc_id — replaying a batch rewrites the same rows)."""
+    import os as _os
+    import shutil as _shutil
+
+    from ..operators.dedup import INCR_DELTA_FROM, _incr_bucket
+    from ..operators.merge import merge_upsert
+    from ..operators.span_dedup import (
+        build_span_index,
+        incremental_span_probe,
+        span_index_dir,
+    )
+
+    apply_runtime_confs(spark)
+    table_dir = span_index_dir(sf_dir)
+    if not _os.path.exists(_os.path.join(table_dir, "manifest.json")):
+        build_span_index(spark, sf_dir, table_dir)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir_for(f"{sf_dir}/documents.parquet", schema.simpleString()))
+    )
+
+    def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        delta = batch_df.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
+        out = incremental_span_probe(spark_b, table_dir, delta)
+        if _os.path.isdir(out_path):
+            current = spark_b.read.parquet(out_path)
+            merged = merge_upsert(current, out, ["doc_id"])
+        else:
+            merged = out
+        tmp = out_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        if _os.path.isdir(out_path):
+            _shutil.rmtree(out_path)
+        _os.replace(tmp, out_path)
+
+    q = (
+        raw.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(probe_batch)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

@@ -151,3 +151,79 @@ def test_extend_is_idempotent_and_sums_to_full(
     # manifest history retained all versions
     m = json.load(open(os.path.join(table_dir, "manifest.json")))
     assert m == {"latest": 3, "versions": [1, 2, 3]}
+
+
+# ---------------------------------------------------------------------------
+# Streaming landing-zone span filter (foreachBatch probe)
+
+
+def _collect_out(spark, out_path):
+    return {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["longest_span"])
+        for r in spark.read.parquet(out_path).collect()
+    }
+
+
+def test_stream_span_filter_matches_batch_and_restarts_clean(
+    spark, straddle_corpus_dir, tmp_path, monkeypatch
+):
+    from data_engineering_challenge_spark.streaming.pipelines import (
+        run_incremental_span_filter,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_s"))
+    out = str(tmp_path / "span_table")
+    ckpt = str(tmp_path / "ckpt")
+    run_incremental_span_filter(spark, straddle_corpus_dir, out, ckpt)
+    got = _collect_out(spark, out)
+    batch = {
+        r["doc_id"]: (r["n_spans"], r["dup_tokens"], r["longest_span"])
+        for r in incremental_duplicate_spans(spark, straddle_corpus_dir).collect()
+    }
+    # one trigger holds the whole fixture -> per-trigger semantics
+    # coincide with the batch probe exactly
+    assert got == batch and len(got) == 3
+    # restart with no new data: checkpoint replays nothing, the keyed
+    # upsert leaves the table byte-stable (exactly-once)
+    run_incremental_span_filter(spark, straddle_corpus_dir, out, ckpt)
+    assert _collect_out(spark, out) == got
+
+
+def test_stream_span_filter_second_trigger_upserts(
+    spark, straddle_corpus_dir, tmp_path, monkeypatch
+):
+    import pandas as pd
+
+    from data_engineering_challenge_spark.streaming.pipelines import (
+        _stream_dir_for,
+        run_incremental_span_filter,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_s2"))
+    out = str(tmp_path / "span_table2")
+    ckpt = str(tmp_path / "ckpt2")
+    run_incremental_span_filter(spark, straddle_corpus_dir, out, ckpt)
+    first = _collect_out(spark, out)
+
+    # night two: a new delta file lands containing a doc that shares
+    # BLOCK_A with the frozen corpus
+    delta_ids = [i for i in range(400, 800) if _bucket(i) >= INCR_DELTA_FROM]
+    new_doc = delta_ids[0]
+    schema = spark.read.parquet(
+        os.path.join(straddle_corpus_dir, "documents.parquet")
+    ).schema
+    sdir = _stream_dir_for(
+        os.path.join(straddle_corpus_dir, "documents.parquet"),
+        schema.simpleString(),
+    )
+    pd.DataFrame(
+        [{"doc_id": new_doc, "text": f"late arrival {BLOCK_A} closes"}]
+    ).to_parquet(os.path.join(sdir, "night2.parquet"), index=False)
+    try:
+        run_incremental_span_filter(spark, straddle_corpus_dir, out, ckpt)
+        second = _collect_out(spark, out)
+    finally:
+        os.remove(os.path.join(sdir, "night2.parquet"))
+    # prior rows untouched; the new doc's 12-token span appended
+    assert {k: v for k, v in second.items() if k != new_doc} == first
+    assert second[new_doc] == (1, 12, 12)
