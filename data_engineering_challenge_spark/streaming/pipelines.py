@@ -501,7 +501,11 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def run_incremental_span_filter(
-    spark: SparkSession, sf_dir: str, out_path: str, checkpoint: str
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint: str,
+    raw: DataFrame | None = None,
 ) -> None:
     """Landing-zone exact-SPAN filter: streamed delta documents probed
     per micro-batch against the FROZEN gram-postings index
@@ -537,12 +541,15 @@ def run_incremental_span_filter(
     table_dir = span_index_dir(sf_dir)
     if not _os.path.exists(_os.path.join(table_dir, "manifest.json")):
         build_span_index(spark, sf_dir, table_dir)
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    raw = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(_stream_dir_for(f"{sf_dir}/documents.parquet", schema.simpleString()))
-    )
+    if raw is None:
+        schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(
+                _stream_dir_for(f"{sf_dir}/documents.parquet", schema.simpleString())
+            )
+        )
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession

@@ -162,6 +162,28 @@ def main() -> None:
     sec = drive_distributed_sink(ld, "append")
     results["landing_dedup"] = {"sec": sec, "events_per_sec": round(n_docs / sec)}
 
+    # landing-zone exact-SPAN filter: same doc drop through the
+    # foreachBatch probe against the frozen gram-postings index
+    # (index build untimed — the nightly shape)
+    from data_engineering_challenge_spark.operators.span_dedup import (
+        build_span_index,
+        span_index_dir,
+    )
+
+    sidx = span_index_dir(args.sf_dir)
+    if not os.path.exists(os.path.join(sidx, "manifest.json")):
+        build_span_index(spark, args.sf_dir, sidx)
+    sout = os.path.join(tempfile.gettempdir(), f"stream_bench_spans_{dkey}")
+    sckpt = sout + "_ckpt"
+    shutil.rmtree(sout, ignore_errors=True)
+    shutil.rmtree(sckpt, ignore_errors=True)
+    t0 = time.time()
+    P.run_incremental_span_filter(
+        spark, args.sf_dir, sout, sckpt, raw=read_drop_stream(spark, ddrop)
+    )
+    sec = time.time() - t0
+    results["landing_span"] = {"sec": sec, "events_per_sec": round(n_docs / sec)}
+
     line = {
         "metric": "stream_events_per_sec",
         "value": results["hourly_agg"]["events_per_sec"],
