@@ -184,6 +184,7 @@ _PYTHON_BY_DESIGN = {
     "user_value_trend",      # applyInPandas grouped model
     "bmp_roundtrip_audit",   # mapInPandas real BMP decode/resize/encode
     "png_roundtrip_audit",   # mapInPandas real PNG (zlib) decode/resize/encode
+    "wav_roundtrip_audit",   # mapInPandas real WAV (RIFF/PCM) decode/resample/encode
 }
 _PY_MARKERS = (
     "BatchEvalPython",  # row-at-a-time Python UDF — never acceptable
@@ -220,6 +221,7 @@ _BNLJ_BY_DESIGN = {
     "funnel_conversion",      # 1-row x 1-row count frames
     "truncated_ann_recall",   # broadcast query batch x corpus scan (ann_topk twin)
     "int8_quantization_audit",  # 1-row per-dim min/scale bounds frame
+    "source_token_drift",     # broadcast top-100 / 1-row N frames x |sources| rollup
 }
 
 
