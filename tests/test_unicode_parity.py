@@ -40,6 +40,10 @@ TEXT_QUERIES = [
     # round 7
     "bpe_learn", "vocab_coverage_audit", "dedup_retention_plan",
     "minhash_lsh_pairs", "dedup_source_matrix",
+    # round 8
+    "duplicate_spans", "span_dedup_savings", "span_removal_plan",
+    "incremental_duplicate_spans", "cms_frequency_check",
+    "source_token_drift", "bpe_apply",
 ]
 
 
