@@ -33,6 +33,7 @@ REPRESENTATIVES = (
     "duplicate_spans",      # gh-window dup test + gaps-and-islands merge (r8)
     "source_token_drift",   # exact-integer L1 drift, one final division (r8)
     "hll_rollup_check",     # merge-order-invariant sketch union (r8)
+    "incremental_duplicate_spans",  # frozen-index probe + island windows (r8)
 )
 
 
