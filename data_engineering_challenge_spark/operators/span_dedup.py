@@ -479,3 +479,78 @@ def incremental_span_probe(
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "span_source_matrix",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, source, {_TOK_SQL} AS toks
+            FROM documents
+            WHERE len({_TOK_SQL}) >= {SPAN_K}
+        ), g AS (
+            SELECT doc_id, source,
+                   unnest(list_transform(range(1, len(toks) - {SPAN_K - 2}),
+                          i -> ('0x' || substr(md5(array_to_string(toks[i:i+{SPAN_K - 1}], ' ')), 1, 15))::BIGINT)) AS gh
+            FROM t
+        ), d AS (
+            SELECT DISTINCT gh, source FROM g
+            QUALIFY COUNT(*) OVER (PARTITION BY gh) <= {MAX_SPAN_GRAM_POSTINGS}
+               AND MIN(doc_id) OVER (PARTITION BY gh) <> MAX(doc_id) OVER (PARTITION BY gh)
+        )
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS shared_grams
+        FROM d a JOIN d b ON a.gh = b.gh AND a.source < b.source
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    doc="Cross-source contamination at SPAN granularity (the exact-"
+    "substring analog of dedup_source_matrix): for every unordered "
+    "source pair, how many duplicated 8-grams the two sources share. "
+    "The provenance question behind a mixture decision - which feeds "
+    "are copying from each other. The self-join fans out at most "
+    "|sources| rows per gram key (grams are already DISTINCT per "
+    "source and hot-gram capped), so the pair space is "
+    "sources-squared-bounded per key, never doc-pair-sized.",
+    tags=("text", "dedup", "profiling", "extension"),
+)
+def span_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, shared_grams) for source_a < source_b."""
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    tok = tokens(F.col("text"))
+    grams = (
+        d.select("doc_id", "source", tok.alias("toks"))
+        .filter(F.size("toks") >= SPAN_K)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(word_ngrams(F.col("toks"), SPAN_K)).alias("gram"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 15), 16, 10)
+            .cast("bigint")
+            .alias("gh"),
+        )
+    )
+    wg = Window.partitionBy("gh")
+    dup_sources = (
+        grams.withColumn("postings", F.count(F.lit(1)).over(wg))
+        .withColumn("dmin", F.min("doc_id").over(wg))
+        .withColumn("dmax", F.max("doc_id").over(wg))
+        .filter(
+            (F.col("postings") <= MAX_SPAN_GRAM_POSTINGS)
+            & (F.col("dmin") != F.col("dmax"))
+        )
+        .select("gh", "source")
+        .distinct()
+    )
+    a = dup_sources.select("gh", F.col("source").alias("source_a"))
+    b = dup_sources.select("gh", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "gh")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .orderBy("source_a", "source_b")
+    )

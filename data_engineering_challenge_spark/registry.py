@@ -68,6 +68,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "span_removal_plan",
     "source_token_drift",
     "incremental_duplicate_spans",
+    "span_source_matrix",
     "ann_ivfpq_topk",
     "bpe_apply",
     "png_roundtrip_audit",

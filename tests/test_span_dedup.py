@@ -133,3 +133,20 @@ def test_removal_plan_keeps_owner_copy(spark, corpus_dir):
     assert got[1]["n_tokens"] == 24
     assert got[1]["removed_frac"] == pytest.approx(20 / 24)
     assert got[3]["tokens_removed"] == 8
+
+
+def test_span_source_matrix_counts_cross_source_grams(spark, tmp_path_factory):
+    rows = [
+        Row(doc_id=20, text=f"{SHARED20} from feed one", lang="en", source="feedA"),
+        Row(doc_id=21, text=f"copying {SHARED20} verbatim", lang="en", source="feedB"),
+        Row(doc_id=22, text=f"{SHARED8} only here", lang="en", source="feedC"),
+        Row(doc_id=23, text=f"also {SHARED8} appears", lang="en", source="feedC"),
+    ]
+    path = _docs(spark, rows, str(tmp_path_factory.mktemp("span_matrix")))
+    got = {
+        (r["source_a"], r["source_b"]): r["shared_grams"]
+        for r in sd.span_source_matrix(spark, path).collect()
+    }
+    # 20 shared tokens -> 13 duplicated 8-gram starts shared A<->B;
+    # the C<->C pair is same-source and must NOT appear
+    assert got == {("feedA", "feedB"): 13}
