@@ -332,3 +332,155 @@ def dedup_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-quantized PageRank over the copurchase graph (round 8)
+
+PR_SCALE = 10**12  # rank fixed-point scale (bigint)
+PR_ITERS = 8
+PR_TOPK = 20
+
+
+def _pr_oracle() -> str:
+    """Unrolled K-iteration integer PageRank in DuckDB SQL — every
+    arithmetic step is BIGINT floor division / sums, bit-identical to
+    the Spark loop by construction."""
+    from .analytics_ext import MAX_BASKET, MIN_SUPPORT
+
+    cte = [
+        f"""
+        WITH po AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), sized AS (
+            SELECT l_orderkey FROM po
+            GROUP BY l_orderkey HAVING COUNT(*) <= {MAX_BASKET}
+        ), pp AS MATERIALIZED (
+            SELECT po.l_orderkey, po.l_partkey
+            FROM po JOIN sized USING (l_orderkey)
+        ), prs AS MATERIALIZED (
+            SELECT a.l_partkey AS pa, b.l_partkey AS pb
+            FROM pp a JOIN pp b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY pa, pb
+            HAVING COUNT(*) >= {MIN_SUPPORT}
+        ), edges AS MATERIALIZED (
+            SELECT pa AS src, pb AS dst FROM prs
+            UNION ALL
+            SELECT pb AS src, pa AS dst FROM prs
+        ), deg AS MATERIALIZED (
+            SELECT src, COUNT(*)::BIGINT AS dg FROM edges GROUP BY src
+        ), sc AS (
+            SELECT ({PR_SCALE} // COUNT(*))::BIGINT AS per FROM deg
+        ), r0 AS (
+            SELECT src AS part, (SELECT per FROM sc) AS r FROM deg
+        )"""
+    ]
+    for i in range(PR_ITERS):
+        cte.append(
+            f""", r{i + 1} AS MATERIALIZED (
+            SELECT d.src AS part,
+                   ((15 * (SELECT per FROM sc)) // 100
+                    + (85 * COALESCE(inf.total, 0)) // 100)::BIGINT AS r
+            FROM deg d LEFT JOIN (
+                SELECT e.dst AS part, SUM(rr.r // dg.dg)::BIGINT AS total
+                FROM r{i} rr
+                JOIN deg dg ON rr.part = dg.src
+                JOIN edges e ON e.src = rr.part
+                GROUP BY e.dst
+            ) inf ON inf.part = d.src
+        )"""
+        )
+    cte.append(
+        f"""
+        SELECT part, r AS rank_scaled FROM r{PR_ITERS}
+        ORDER BY r DESC, part ASC LIMIT {PR_TOPK}"""
+    )
+    return "".join(cte)
+
+
+@register(
+    "copurchase_pagerank",
+    oracle=_pr_oracle(),
+    doc=f"PageRank over the copurchase graph ({PR_ITERS} power "
+    "iterations, damping 0.85) in INTEGER fixed-point arithmetic: "
+    "per-node shares are bigint floor divisions and inflows are exact "
+    "bigint sums, so the result is bit-identical across engines, "
+    "partition counts, and summation orders — the float-PageRank "
+    "reproducibility problem designed out. The second iterative-"
+    "algorithm family beside connected components: per iteration one "
+    "share join + one dst-key shuffle, lineage cut per generation. "
+    "Quantization error vs real-valued PageRank is <= deg/SCALE per "
+    "node per step (SCALE=1e12).",
+    tags=("graph", "iterative", "extension"),
+)
+def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 parts by integer-quantized copurchase PageRank."""
+    from .analytics_ext import MAX_BASKET, MIN_SUPPORT
+
+    l = load_table(spark, sf_dir, "lineitem")
+    po = l.select("l_orderkey", "l_partkey").distinct()
+    sized = (
+        po.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .filter(F.col("nb") <= MAX_BASKET)
+        .select("l_orderkey")
+    )
+    pp = po.join(sized, "l_orderkey")
+    prs = (
+        pp.alias("a")
+        .join(pp.alias("b"), "l_orderkey")
+        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= MIN_SUPPORT)
+        .select("pa", "pb")
+    )
+    edges = track_cached(
+        prs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
+        .unionByName(prs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    deg = track_cached(
+        edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # node count is a bounded scalar (like the BPE argmax collects):
+    # the fixed-point per-node seed and teleport base derive from it
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return spark.createDataFrame([], "part bigint, rank_scaled bigint")
+    per = PR_SCALE // n_nodes
+    base = (15 * per) // 100
+    ranks = deg.select(F.col("src").alias("part"), F.lit(per).cast("bigint").alias("r"))
+    for _ in range(PR_ITERS):
+        shares = ranks.join(deg, ranks.part == deg.src).select(
+            "part", F.expr("r div dg").alias("share")
+        )
+        inflow = (
+            edges.join(shares, edges.src == shares.part)
+            .groupBy(F.col("dst"))
+            .agg(F.sum("share").cast("bigint").alias("total"))
+        )
+        ranks = (
+            deg.select(F.col("src").alias("part"))
+            .join(inflow, F.col("part") == F.col("dst"), "left")
+            .select(
+                "part",
+                (
+                    F.lit(base)
+                    + F.expr(f"(85 * coalesce(total, 0L)) div 100")
+                )
+                .cast("bigint")
+                .alias("r"),
+            )
+        )
+        # cut lineage per generation (the CC-loop convention): eight
+        # chained join+agg generations would otherwise replay from the
+        # edge build on every downstream action
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select(
+        "part", F.col("r").alias("rank_scaled")
+    ).orderBy(F.col("rank_scaled").desc(), F.col("part").asc()).limit(PR_TOPK)

@@ -69,6 +69,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "source_token_drift",
     "incremental_duplicate_spans",
     "span_source_matrix",
+    "copurchase_pagerank",
     "ann_ivfpq_topk",
     "bpe_apply",
     "png_roundtrip_audit",

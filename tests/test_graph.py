@@ -61,3 +61,48 @@ def test_formulations_agree(spark):
     via_edges = {r.node: r.component for r in connected_components(nodes, edges).collect()}
     via_bip = {r.node: r.component for r in connected_components_bipartite(a).collect()}
     assert via_edges == via_bip
+
+
+def test_copurchase_pagerank_integer_arithmetic_exact(spark, tmp_path_factory):
+    """The engine's fixed-point recurrence replicated in pure Python on
+    a planted star graph must match bit-for-bit (the determinism claim
+    is exactness, not approximation)."""
+    import os
+
+    import pandas as pd
+
+    from data_engineering_challenge_spark.operators.graph import (
+        PR_ITERS,
+        PR_SCALE,
+        copurchase_pagerank,
+    )
+
+    # star: part 1 co-purchased (support 2) with parts 2, 3, 4
+    rows = []
+    ok = 0
+    for other in (2, 3, 4):
+        for _ in range(2):
+            ok += 1
+            rows.append({"l_orderkey": ok, "l_partkey": 1})
+            rows.append({"l_orderkey": ok, "l_partkey": other})
+    root = tmp_path_factory.mktemp("pr_star")
+    pd.DataFrame(rows).to_parquet(os.path.join(root, "lineitem.parquet"), index=False)
+
+    got = {
+        r["part"]: r["rank_scaled"]
+        for r in copurchase_pagerank(spark, str(root)).collect()
+    }
+
+    edges = [(1, 2), (1, 3), (1, 4), (2, 1), (3, 1), (4, 1)]
+    deg = {1: 3, 2: 1, 3: 1, 4: 1}
+    per = PR_SCALE // 4
+    base = (15 * per) // 100
+    r = {p: per for p in deg}
+    for _ in range(PR_ITERS):
+        share = {p: r[p] // deg[p] for p in deg}
+        inflow = {p: 0 for p in deg}
+        for s, d in edges:
+            inflow[d] += share[s]
+        r = {p: base + (85 * inflow[p]) // 100 for p in deg}
+    assert got == r
+    assert max(got, key=got.get) == 1, "star center must rank highest"

@@ -34,6 +34,7 @@ REPRESENTATIVES = (
     "source_token_drift",   # exact-integer L1 drift, one final division (r8)
     "hll_rollup_check",     # merge-order-invariant sketch union (r8)
     "incremental_duplicate_spans",  # frozen-index probe + island windows (r8)
+    "copurchase_pagerank",  # iterative integer fixed-point propagation (r8)
 )
 
 
