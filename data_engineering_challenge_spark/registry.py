@@ -52,7 +52,7 @@ def register(
 # A correctness harness that samples a prefix of the registry (the
 # driver checks the first ~50) must see the queries with the least
 # accumulated evidence first. Rotated each round; round 8 fronts the
-# 13 new round-8 operators (no driver row ever), then the 19 queries
+# 15 new round-8 operators (no driver row ever), then the 19 queries
 # with no r6 OR r7 driver row (newest evidence is r5-era), then the
 # 50 whose newest row is r6, then the 50 r7-green. A ~50-row prefix
 # therefore refreshes every query older than two rounds, making the
