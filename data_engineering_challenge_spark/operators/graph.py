@@ -371,7 +371,9 @@ def _pr_oracle() -> str:
         ), deg AS MATERIALIZED (
             SELECT src, COUNT(*)::BIGINT AS dg FROM edges GROUP BY src
         ), sc AS (
-            SELECT ({PR_SCALE} // COUNT(*))::BIGINT AS per FROM deg
+            -- NULLIF guards the empty-graph degenerate: per = NULL makes
+            -- r0..rK empty, matching the Spark side's early return
+            SELECT ({PR_SCALE} // NULLIF(COUNT(*), 0))::BIGINT AS per FROM deg
         ), r0 AS (
             SELECT src AS part, (SELECT per FROM sc) AS r FROM deg
         )"""

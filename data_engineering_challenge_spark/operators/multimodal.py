@@ -747,6 +747,11 @@ def decode_wav(payload: bytes) -> tuple[int, list[int]]:
     while pos + 8 <= len(payload):
         typ = payload[pos : pos + 4]
         (size,) = struct.unpack_from("<I", payload, pos + 4)
+        if pos + 8 + size > len(payload):
+            # a declared chunk size past the buffer would silently
+            # truncate body and then struct.unpack's element count no
+            # longer matches the slice — surface the documented error
+            raise ValueError("truncated chunk")
         body = payload[pos + 8 : pos + 8 + size]
         if typ == b"fmt ":
             audio_fmt, channels, rate, _, _, bits = struct.unpack_from("<HHIIHH", body, 0)

@@ -218,9 +218,17 @@ def cms_frequency_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     jvm = spark._jvm
-    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
-        jvm.java.io.ByteArrayInputStream(bytes(blob))
-    )
+    try:
+        cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+            jvm.java.io.ByteArrayInputStream(bytes(blob))
+        )
+        cms.estimateCount("")  # probe the method seam too, not just the class
+    except Exception as e:  # version-drift guard for the private-API seam
+        raise RuntimeError(
+            "org.apache.spark.util.sketch.CountMinSketch decode seam moved "
+            f"(Spark {spark.version}): pin a new decode path for the "
+            "count_min_sketch agg's binary layout"
+        ) from e
     bound = _CMS_EPS * total
     rows = [
         (

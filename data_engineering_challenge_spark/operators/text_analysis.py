@@ -962,8 +962,12 @@ _DRIFT_TOPK = 100  # drift measured over the corpus top-K tokens
             GROUP BY source, token
         ), grid AS (
             SELECT s.source, s.n_tokens, t.token, t.c_t, n.big_n,
-                   ABS(COALESCE(o.o, 0) * n.big_n - t.c_t * s.n_tokens)
-                       AS dev
+                   -- DECIMAL(38,0) terms: products of two token counts
+                   -- pass 2^63 at the 100-TB posture; decimal keeps the
+                   -- sum exact (and matches the Spark side's decimal
+                   -- accumulation) instead of BIGINT overflow
+                   ABS(COALESCE(o.o, 0)::DECIMAL(38,0) * n.big_n
+                       - t.c_t::DECIMAL(38,0) * s.n_tokens) AS dev
             FROM per_source s CROSS JOIN top t CROSS JOIN n
             LEFT JOIN obs o ON o.source = s.source AND o.token = t.token
         ), worst AS (
@@ -1019,9 +1023,14 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_tokens",
             "token",
             "big_n",
+            # decimal(38,0) accumulation: bigint products of two token
+            # counts wrap past 2^63 with ANSI off at the 100-TB posture,
+            # while DuckDB widens SUM(BIGINT) — decimal is exact and
+            # engine-identical at any scale
             F.abs(
-                F.coalesce(F.col("o"), F.lit(0)) * F.col("big_n")
-                - F.col("c_t") * F.col("n_tokens")
+                F.coalesce(F.col("o"), F.lit(0)).cast("decimal(38,0)")
+                * F.col("big_n")
+                - F.col("c_t").cast("decimal(38,0)") * F.col("n_tokens")
             ).alias("dev"),
         )
     )

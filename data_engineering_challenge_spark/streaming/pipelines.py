@@ -553,6 +553,12 @@ def run_incremental_span_filter(
 
     def probe_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark_b = batch_df.sparkSession
+        # Crash recovery: a previous publish that renamed the live table
+        # aside but died before promoting the new one leaves only
+        # `.old` — restore it so committed data is never dropped.
+        old_path = out_path + ".old"
+        if not _os.path.isdir(out_path) and _os.path.isdir(old_path):
+            _os.replace(old_path, out_path)
         delta = batch_df.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
         out = incremental_span_probe(spark_b, table_dir, delta)
         if _os.path.isdir(out_path):
@@ -562,9 +568,16 @@ def run_incremental_span_filter(
             merged = out
         tmp = out_path + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
+        # Atomic-enough publish: rename the live table ASIDE (never
+        # delete-then-replace — that window loses the table while the
+        # stream checkpoint already marks the batch committed), promote
+        # the new table, then drop the old copy. Every crash point
+        # leaves either the old or the new table restorable.
+        _shutil.rmtree(old_path, ignore_errors=True)
         if _os.path.isdir(out_path):
-            _shutil.rmtree(out_path)
+            _os.replace(out_path, old_path)
         _os.replace(tmp, out_path)
+        _shutil.rmtree(old_path, ignore_errors=True)
 
     q = (
         raw.writeStream.outputMode("append")

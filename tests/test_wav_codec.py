@@ -64,3 +64,18 @@ def test_non_pcm_rejected():
 def test_garbage_rejected():
     with pytest.raises(ValueError, match="RIFF"):
         decode_wav(b"ID3\x03junkjunkjunk")
+
+
+def test_truncated_chunk_rejected():
+    # a data chunk whose declared size exceeds the remaining bytes must
+    # raise the documented ValueError, not struct.error (ADVICE r8)
+    payload = encode_wav(8000, [1, 2, 3, 4])
+    with pytest.raises(ValueError, match="truncated chunk"):
+        decode_wav(payload[:-3])
+
+
+def test_oversized_fmt_size_rejected():
+    payload = bytearray(encode_wav(8000, [1, 2]))
+    payload[16] = 0xFF  # fmt chunk claims 255 bytes it does not have
+    with pytest.raises(ValueError, match="truncated chunk"):
+        decode_wav(bytes(payload))
