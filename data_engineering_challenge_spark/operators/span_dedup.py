@@ -56,58 +56,71 @@ SPAN_K = 8  # span granularity: a duplicated run must contain a full K-gram
 MAX_SPAN_GRAM_POSTINGS = 1000
 
 
-def _span_sql(inner_select: str, removable_only: bool = False) -> str:
-    """Shared oracle CTE chain: positional grams → duplicated positions
-    → maximal merged spans, ending in a `spans(doc_id, span_len)`
-    relation consumed by ``inner_select``."""
+def _span_chain(
+    docs_rel: str = "documents", prefix: str = "", removable_only: bool = False
+) -> str:
+    """Oracle CTE chain body (no leading WITH): positional grams of
+    ``docs_rel`` → duplicated positions → maximal merged spans, ending
+    in ``{prefix}spans(doc_id, s, e, span_len)``. ``prefix`` namespaces
+    the CTEs so the chain can run twice in one query (the residual
+    audit re-runs it over the rewritten corpus)."""
     removal = (
         "AND doc_id <> MIN(doc_id) OVER (PARTITION BY gh)" if removable_only else ""
     )
-    return f"""
-        WITH t AS (
+    p = prefix
+    return f"""{p}t AS (
             SELECT doc_id, {_TOK_SQL} AS toks
-            FROM documents
+            FROM {docs_rel}
             WHERE len({_TOK_SQL}) >= {SPAN_K}
-        ), g AS (
+        ), {p}g AS (
             SELECT doc_id,
                    unnest(range(1, len(toks) - {SPAN_K - 2})) AS p,
                    unnest(list_transform(range(1, len(toks) - {SPAN_K - 2}),
                           i -> ('0x' || substr(md5(array_to_string(toks[i:i+{SPAN_K - 1}], ' ')), 1, 15))::BIGINT)) AS gh
-            FROM t
-        ), d AS (
-            SELECT doc_id, p FROM g
+            FROM {p}t
+        ), {p}d AS (
+            SELECT doc_id, p FROM {p}g
             QUALIFY COUNT(*) OVER (PARTITION BY gh) <= {MAX_SPAN_GRAM_POSTINGS}
                AND MIN(doc_id) OVER (PARTITION BY gh) <> MAX(doc_id) OVER (PARTITION BY gh)
                {removal}
-        ), isl AS (
+        ), {p}isl AS (
             SELECT doc_id, p,
                    SUM(CASE WHEN gap IS NULL OR gap > {SPAN_K} THEN 1 ELSE 0 END)
                        OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
             FROM (SELECT doc_id, p,
                          p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS gap
-                  FROM d)
-        ), spans AS (
-            SELECT doc_id, MAX(p) - MIN(p) + {SPAN_K} AS span_len
-            FROM isl GROUP BY doc_id, island
-        )
+                  FROM {p}d)
+        ), {p}spans AS (
+            SELECT doc_id, MIN(p) AS s, MAX(p) + {SPAN_K - 1} AS e,
+                   MAX(p) - MIN(p) + {SPAN_K} AS span_len
+            FROM {p}isl GROUP BY doc_id, island
+        )"""
+
+
+def _span_sql(inner_select: str, removable_only: bool = False) -> str:
+    """Shared oracle chain over `documents`, ending in a
+    `spans(doc_id, s, e, span_len)` relation consumed by
+    ``inner_select``."""
+    return f"""
+        WITH {_span_chain(removable_only=removable_only)}
         {inner_select}
     """
 
 
-def _duplicate_position_spans(
-    spark: SparkSession, sf_dir: str, removable_only: bool = False
-) -> DataFrame:
-    """(doc_id, span_len) of every maximal cross-doc duplicated span.
+def _spans_over(docs: DataFrame, removable_only: bool = False) -> DataFrame:
+    """(doc_id, s, e, span_len) of every maximal cross-doc duplicated
+    span of an arbitrary (doc_id, text) frame — the engine twin of
+    ``_span_chain``. `s`/`e` are 1-based inclusive token positions
+    (e ≤ n_tokens because the last gram covers p..p+K-1).
 
     With ``removable_only`` the position filter additionally demands
     ``doc_id != min(doc_id) over the gram`` — the Lee et al. removal
     policy: every duplicated gram survives in exactly its lowest-id
     owner, so the returned spans are the ones a rewrite pass would cut.
     """
-    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     tok = tokens(F.col("text"))
     grams = (
-        d.select("doc_id", tok.alias("toks"))
+        docs.select("doc_id", tok.alias("toks"))
         .filter(F.size("toks") >= SPAN_K)
         .select(
             "doc_id",
@@ -148,9 +161,22 @@ def _duplicate_position_spans(
             F.sum("new_island").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
         )
         .groupBy("doc_id", "island")
-        .agg((F.max("p") - F.min("p") + SPAN_K).alias("span_len"))
-        .select("doc_id", "span_len")
+        .agg(
+            F.min("p").alias("s"),
+            (F.max("p") + (SPAN_K - 1)).alias("e"),
+            (F.max("p") - F.min("p") + SPAN_K).alias("span_len"),
+        )
+        .select("doc_id", "s", "e", "span_len")
     )
+
+
+def _duplicate_position_spans(
+    spark: SparkSession, sf_dir: str, removable_only: bool = False
+) -> DataFrame:
+    """(doc_id, span_len) over the sf_dir documents table (see
+    ``_spans_over`` for semantics)."""
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    return _spans_over(d, removable_only=removable_only).select("doc_id", "span_len")
 
 
 @register(
@@ -553,4 +579,169 @@ def span_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Span REMOVAL — materialize the cleaned corpus (the second half of the
+# Lee et al. ExactSubstr pass: span_removal_plan says what to cut;
+# apply_span_removal performs the cut).
+
+
+def apply_span_removal(docs: DataFrame) -> DataFrame:
+    """Materialize the span-deduplicated corpus of a (doc_id, source,
+    text) frame: delete every token inside a removable span (the
+    keep-lowest-doc_id ownership policy of ``span_removal_plan``) and
+    re-join the surviving tokens with single spaces.
+
+    Output: (doc_id, source, text, n_tokens, tokens_removed,
+    n_tokens_after) for EVERY input document — uncut docs pass through
+    with tokens_removed = 0 and their original text byte-identical
+    (re-normalization happens only on cut docs, whose output is in
+    normalized token space by construction).
+
+    Scale shape: the cut list is the span plan (one 8-byte-key gram
+    shuffle + per-doc islands), aggregated to one array row per CUT
+    document — duplicate-doc-sized, so the docs⨝cuts join broadcasts
+    under AQE at moderate dup rates and degrades to a doc_id-key
+    shuffle join (each side partitioned by the same key, bounded by
+    the longest document) at worst. The token deletion itself is a
+    per-row JVM higher-order filter — zero additional shuffles.
+    """
+    cuts = (
+        _spans_over(docs.select("doc_id", "text"), removable_only=True)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("cuts"))
+    )
+    tok = tokens(F.col("text"))
+    pos_in_cut = lambda i: F.exists(  # noqa: E731 — 1-based position i
+        F.col("cuts"), lambda c: (i >= c["s"]) & (i <= c["e"])
+    )
+    kept = F.filter(F.col("toks"), lambda t, i: ~pos_in_cut(i + 1))
+    return (
+        docs.join(cuts, "doc_id", "left")
+        .withColumn("toks", tok)
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("cuts").isNull(), F.col("text"))
+            .otherwise(F.array_join(kept, " "))
+            .alias("text"),
+            F.size("toks").cast("bigint").alias("n_tokens"),
+            F.when(F.col("cuts").isNull(), F.lit(0))
+            .otherwise(F.size("toks") - F.size(kept))
+            .cast("bigint")
+            .alias("tokens_removed"),
+            F.when(F.col("cuts").isNull(), F.size("toks"))
+            .otherwise(F.size(kept))
+            .cast("bigint")
+            .alias("n_tokens_after"),
+        )
+    )
+
+
+# DuckDB twin of the token-deletion lambda: positions NOT inside any
+# cut survive; toks[i] is 1-based like the span bounds.
+_REWRITE_SQL = """list_transform(
+               list_filter(range(1, len(toks) + 1),
+                   i -> len(list_filter(cuts, cc -> i >= cc.s AND i <= cc.e)) = 0),
+               i -> toks[i])"""
+
+
+@register(
+    "span_rewrite",
+    oracle=f"""
+        WITH {{chain}}
+        , cuts AS (
+            SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS cuts
+            FROM spans GROUP BY doc_id
+        ), rew AS (
+            SELECT d.doc_id, {{tok}} AS toks, c.cuts
+            FROM documents d JOIN cuts c ON d.doc_id = c.doc_id
+        ), out AS (
+            SELECT doc_id, len(toks) AS n_tokens, {_REWRITE_SQL} AS kept
+            FROM rew
+        )
+        SELECT doc_id,
+               n_tokens::BIGINT AS n_tokens,
+               (n_tokens - len(kept))::BIGINT AS tokens_removed,
+               len(kept)::BIGINT AS n_tokens_after,
+               -- DuckDB's array_to_string([]) is NULL; Spark's
+               -- array_join([]) is '' — coalesce to the Spark value
+               COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+        FROM out ORDER BY doc_id
+    """.format(chain=_span_chain(removable_only=True), tok=_TOK_SQL),
+    doc="Materialized exact-span dedup (the rewrite half of Lee et "
+    "al. 2022): per CUT document, the cleaned text with every "
+    "non-owner duplicated span deleted, plus before/after token "
+    "counts. Cut docs only — the result is duplicate-doc-sized, and "
+    "uncut docs are byte-identical passthroughs by construction. The "
+    "full-corpus frame (every doc, cut or not) is apply_span_removal, "
+    "which examples/pipeline stages consume.",
+    tags=("text", "dedup", "extension"),
+)
+def span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cleaned text + cut stats for every document that lost a span."""
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    return (
+        apply_span_removal(d)
+        .filter(F.col("tokens_removed") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tokens_removed",
+            "n_tokens_after",
+            F.col("text").alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "span_rewrite_residual",
+    oracle=f"""
+        WITH {{chain1}}
+        , cuts AS (
+            SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS cuts
+            FROM spans GROUP BY doc_id
+        ), cleaned AS (
+            -- fully-cut docs rewrite to '' (array_to_string([]) is NULL
+            -- in DuckDB), only cut-free docs pass through unchanged
+            SELECT d.doc_id,
+                   CASE WHEN cuts IS NULL THEN d.text
+                        ELSE COALESCE(array_to_string({_REWRITE_SQL}, ' '), '')
+                   END AS text
+            FROM (SELECT doc_id, text, {{tok}} AS toks FROM documents) d
+            LEFT JOIN cuts USING (doc_id)
+        ), {{chain2}}
+        SELECT COUNT(DISTINCT doc_id)::BIGINT AS residual_docs,
+               COUNT(*)::BIGINT AS residual_spans,
+               COALESCE(SUM(span_len), 0)::BIGINT AS residual_tokens
+        FROM r_spans
+    """.format(
+        chain1=_span_chain(removable_only=True),
+        chain2=_span_chain(docs_rel="cleaned", prefix="r_", removable_only=True),
+        tok=_TOK_SQL,
+    ),
+    doc="Residual-invariant audit of the span rewrite: re-runs the "
+    "removable-span detector over the CLEANED corpus (rewrite output "
+    "fed back through the identical gram chain) and reports what a "
+    "second pass would still cut. The Lee et al. invariant — every "
+    "duplicated gram survives only in its owner doc — makes all three "
+    "counters 0; the only theoretical leak is a junction gram "
+    "coincidentally equal to text elsewhere (tokens newly adjacent "
+    "across a cut), which the audit would surface rather than hide. "
+    "Cost: two span plans back to back — same scale posture as "
+    "duplicate_spans, run twice.",
+    tags=("text", "dedup", "audit", "extension"),
+)
+def span_rewrite_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit: removable spans remaining after the rewrite."""
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    cleaned = apply_span_removal(d).select("doc_id", "text")
+    residual = _spans_over(cleaned, removable_only=True)
+    return residual.agg(
+        F.countDistinct("doc_id").cast("bigint").alias("residual_docs"),
+        F.count(F.lit(1)).cast("bigint").alias("residual_spans"),
+        F.coalesce(F.sum("span_len"), F.lit(0)).cast("bigint").alias("residual_tokens"),
     )

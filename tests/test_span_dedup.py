@@ -150,3 +150,52 @@ def test_span_source_matrix_counts_cross_source_grams(spark, tmp_path_factory):
     # 20 shared tokens -> 13 duplicated 8-gram starts shared A<->B;
     # the C<->C pair is same-source and must NOT appear
     assert got == {("feedA", "feedB"): 13}
+
+
+def test_apply_span_removal_cuts_non_owner_copies(spark, corpus_dir):
+    from data_engineering_challenge_spark.catalog import load_table
+
+    docs = load_table(spark, corpus_dir, "documents")
+    got = {r["doc_id"]: r for r in sd.apply_span_removal(docs).collect()}
+    assert set(got) == {0, 1, 2, 3, 4, 5}, "every doc passes through"
+    # doc 0 owns SHARED20 (lowest doc_id) — byte-identical passthrough
+    assert got[0]["tokens_removed"] == 0
+    assert got[0]["text"] == f"{SHARED20} unique tail zero"
+    # doc 1 loses the 20 shared tokens, keeps its unique lead/tail
+    assert got[1]["tokens_removed"] == 20
+    assert got[1]["text"] == "lead one and more"
+    assert got[1]["n_tokens_after"] == got[1]["n_tokens"] - 20
+    # doc 2 owns SHARED8 — untouched; doc 3 loses its copy
+    assert got[2]["tokens_removed"] == 0
+    assert got[3]["tokens_removed"] == 8
+    assert got[3]["text"] == "opener tokens closer"
+    # within-doc-only repetition and short docs are never cut
+    assert got[4]["tokens_removed"] == 0 and got[5]["tokens_removed"] == 0
+
+
+def test_span_rewrite_residual_invariant(spark, corpus_dir):
+    # Lee et al. invariant: after the rewrite, a second removable-span
+    # pass finds nothing — every duplicated gram sits only in its owner.
+    row = sd.span_rewrite_residual(spark, corpus_dir).collect()[0]
+    assert (row["residual_docs"], row["residual_spans"], row["residual_tokens"]) == (
+        0,
+        0,
+        0,
+    )
+
+
+def test_apply_span_removal_fully_cut_doc_becomes_empty(spark, tmp_path_factory):
+    from data_engineering_challenge_spark.catalog import load_table
+
+    # doc 11 is EXACTLY the shared block: the rewrite deletes every token
+    rows = [
+        Row(doc_id=10, text=f"{SHARED20} owner extra", lang="en", source="a"),
+        Row(doc_id=11, text=SHARED20, lang="en", source="b"),
+    ]
+    d = _docs(spark, rows, str(tmp_path_factory.mktemp("span_fullcut")))
+    docs = load_table(spark, d, "documents")
+    got = {r["doc_id"]: r for r in sd.apply_span_removal(docs).collect()}
+    assert got[11]["text"] == "" and got[11]["n_tokens_after"] == 0
+    assert got[10]["tokens_removed"] == 0
+    row = sd.span_rewrite_residual(spark, d).collect()[0]
+    assert row["residual_spans"] == 0
