@@ -294,6 +294,7 @@ def _load_all() -> None:
         multimodal,
         pipeline_ops,
         profiling,
+        quality_probe,
         relational,
         relational_ext,
         similarity,
