@@ -86,8 +86,83 @@ def _stable_split(df: DataFrame, key: str, out_col: str) -> DataFrame:
     return df.withColumn(out_col, split)
 
 
+def _run_incremental(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]:
+    """The nightly incremental lifecycle as ONE declarative stage:
+    for each configured index kind, probe the delta batch against the
+    FROZEN index snapshot, persist the probe report, fold the delta
+    into snapshot v+1 (idempotent — re-running a night replaces the
+    delta rows instead of double-counting), then vacuum old versions.
+
+    Config:
+        {"incremental": {
+            "sf_dir": "...",                  # corpus + delta source
+            "indexes": ["span", "minhash"],   # which index families
+            "probe_out": "...",               # probe reports land here
+            "vacuum_keep": 2                  # snapshot retention
+        }}
+
+    Scale: probe cost is O(delta) tokenization + a distinct-gram /
+    signature index scan per family (never O(corpus)); fold appends
+    delta-sized rows; vacuum is metadata-first then parallel deletes.
+    """
+    import os
+
+    from .operators import span_dedup as sd
+    from .operators.dedup import (
+        INCR_DELTA_FROM,
+        _incr_bucket,
+        build_minhash_index,
+        extend_minhash_index,
+        incremental_dedup,
+        minhash_index_dir,
+    )
+    from .sinks.versioned import history, vacuum_snapshots
+
+    sf_dir = cfg["sf_dir"]
+    keep = cfg.get("vacuum_keep", 2)
+    stats: dict[str, Any] = {}
+    for kind in cfg.get("indexes", ("span", "minhash")):
+        if kind == "span":
+            table_dir = sd.span_index_dir(sf_dir)
+            if not os.path.exists(os.path.join(table_dir, "manifest.json")):
+                sd.build_span_index(spark, sf_dir, table_dir)
+            d = spread_scan_docs(spark, sf_dir)
+            delta = d.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
+            probe = sd.incremental_span_probe(spark, table_dir, delta)
+            fold = lambda: sd.extend_span_index(spark, sf_dir, table_dir)  # noqa: E731
+        elif kind == "minhash":
+            table_dir = minhash_index_dir(sf_dir)
+            if not os.path.exists(os.path.join(table_dir, "manifest.json")):
+                build_minhash_index(spark, sf_dir, table_dir)
+            probe = incremental_dedup(spark, sf_dir)
+            fold = lambda: extend_minhash_index(spark, sf_dir, table_dir)  # noqa: E731
+        else:
+            raise ValueError(f"unknown incremental index kind: {kind}")
+        out_path = os.path.join(cfg["probe_out"], kind)
+        probe.write.mode("overwrite").parquet(out_path)
+        probe_rows = spark.read.parquet(out_path).count()
+        version = fold()
+        vacuumed = vacuum_snapshots(table_dir, keep_last=keep)
+        stats[kind] = {
+            "probe_rows": probe_rows,
+            "probe_path": out_path,
+            "index_version": version,
+            "vacuumed_versions": vacuumed,
+            "versions_retained": history(table_dir)["versions"],
+        }
+    return stats
+
+
+def spread_scan_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import load_table, spread_scan
+
+    return spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+
+
 def run_pipeline(spark: SparkSession, config: dict[str, Any]) -> dict[str, Any]:
     """Execute the configured pipeline; returns per-stage stats."""
+    if "incremental" in config:
+        return _run_incremental(spark, config["incremental"])
     stats: dict[str, Any] = {}
     df = _read(spark, config["source"])
     stats["rows_in"] = df.count()

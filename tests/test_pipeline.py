@@ -89,3 +89,40 @@ def test_pipeline_cli_main(spark, tmp_path):
     assert rc == 0
     stats = json.loads(buf.getvalue().strip().splitlines()[-1])
     assert stats["rows_in"] == stats["rows_out"] == 300
+
+
+def test_incremental_nightly_stage(spark, tmp_path, monkeypatch):
+    # delta-probe -> fold -> vacuum for both index families from one
+    # JSON spec, and the re-run is idempotent (same probe rows, one
+    # more version folded, retention bounded by vacuum_keep)
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    cfg = {
+        "incremental": {
+            "sf_dir": "/root/testdata/sf0.01",
+            "indexes": ["span", "minhash"],
+            "probe_out": str(tmp_path / "probe"),
+            "vacuum_keep": 2,
+        }
+    }
+    night1 = run_pipeline(spark, cfg)
+    assert set(night1) == {"span", "minhash"}
+    for kind in ("span", "minhash"):
+        assert night1[kind]["index_version"] == 2  # build v1 + fold v2
+    night2 = run_pipeline(spark, cfg)
+    for kind in ("span", "minhash"):
+        # same delta re-probed against the same corpus rows -> same report
+        assert night2[kind]["probe_rows"] == night1[kind]["probe_rows"]
+        assert night2[kind]["index_version"] == 3  # idempotent re-fold
+        assert len(night2[kind]["versions_retained"]) <= 2
+        assert night2[kind]["vacuumed_versions"] == [1]
+
+
+def test_incremental_unknown_kind_rejected(spark, tmp_path, monkeypatch):
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    with pytest.raises(ValueError, match="unknown incremental index kind"):
+        run_pipeline(
+            spark,
+            {"incremental": {"sf_dir": "/root/testdata/sf0.01",
+                             "indexes": ["bogus"],
+                             "probe_out": str(tmp_path / "p")}},
+        )
