@@ -510,6 +510,39 @@ PNG_AUDIT_SCHEMA = (
 )
 
 
+def _png_audit_columns(doc_ids) -> dict[str, list]:
+    """Per-doc synthesize→decode→resize→re-encode→re-decode loop shared
+    by the pandas and Arrow batch adapters (the codec IS the cost; the
+    adapters differ only in batch (de)serialization)."""
+    out: dict[str, list] = {
+        "doc_id": [], "width": [], "height": [],
+        "new_width": [], "new_height": [], "pixel_sum": [],
+    }
+    for did in doc_ids:
+        did = int(did)
+        w, h = 1 + did % 13, 5 + (did // 13) % 12
+
+        def pix(x: int, y: int, _d: int = did) -> tuple[int, int, int]:
+            return (
+                (_d + 3 * x + 7 * y) % 256,
+                (_d + 5 * x + 11 * y) % 256,
+                (_d + x + 13 * y) % 256,
+            )
+
+        payload = encode_png(w, h, pix)
+        dw, dh, grid = decode_png(payload)
+        nw, nh, ngrid = resize_nearest(dw, dh, grid, 0.5)
+        rw, rh, rgrid = decode_png(encode_png(nw, nh, lambda x, y: ngrid[y][x]))
+        out["doc_id"].append(did)
+        out["width"].append(dw)
+        out["height"].append(dh)
+        out["new_width"].append(rw)
+        out["new_height"].append(rh)
+        out["pixel_sum"].append(sum(c for row in rgrid for px_ in row for c in px_))
+    return out
+
+
+
 @register(
     "png_roundtrip_audit",
     oracle="""
@@ -557,40 +590,45 @@ PNG_AUDIT_SCHEMA = (
     tags=("multimodal", "udf", "extension"),
 )
 def png_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RecordBatch-native (mapInArrow) since r9. Measured against the
+    # pandas bridge (tools/codec_bench.py, CODEC_BENCH_r09.json): the
+    # difference is noise-level (arrow/pandas best-of-3 ratio 1.03× at
+    # sf0.1, 0.96× at sf1) because the zlib codec dominates the batch
+    # adapter entirely. Arrow kept as the registered path: one fewer
+    # conversion layer, no pandas requirement in the hot loop.
+    import pyarrow as pa
+
+    d = load_table(spark, sf_dir, "documents")
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("width", pa.int32()),
+            ("height", pa.int32()),
+            ("new_width", pa.int32()),
+            ("new_height", pa.int32()),
+            ("pixel_sum", pa.int64()),
+        ]
+    )
+
+    def op(batches: Iterator["pa.RecordBatch"]) -> Iterator["pa.RecordBatch"]:
+        for batch in batches:
+            cols = _png_audit_columns(batch.column(0).to_pylist())
+            yield pa.RecordBatch.from_pydict(cols, schema=out_schema)
+
+    return (
+        d.select("doc_id").mapInArrow(op, schema=PNG_AUDIT_SCHEMA).orderBy("doc_id")
+    )
+
+
+def png_roundtrip_audit_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The r8 pandas-bridge variant, kept for the bench comparison
+    (tools/codec_bench.py) — same rows, same plan shape, two extra
+    pandas conversions per batch."""
     d = load_table(spark, sf_dir, "documents")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {
-                "doc_id": [], "width": [], "height": [],
-                "new_width": [], "new_height": [], "pixel_sum": [],
-            }
-            for did in pdf["doc_id"]:
-                did = int(did)
-                w, h = 1 + did % 13, 5 + (did // 13) % 12
-
-                def pix(x: int, y: int, _d: int = did) -> tuple[int, int, int]:
-                    return (
-                        (_d + 3 * x + 7 * y) % 256,
-                        (_d + 5 * x + 11 * y) % 256,
-                        (_d + x + 13 * y) % 256,
-                    )
-
-                payload = encode_png(w, h, pix)
-                dw, dh, grid = decode_png(payload)
-                nw, nh, ngrid = resize_nearest(dw, dh, grid, 0.5)
-                rw, rh, rgrid = decode_png(
-                    encode_png(nw, nh, lambda x, y: ngrid[y][x])
-                )
-                out["doc_id"].append(did)
-                out["width"].append(dw)
-                out["height"].append(dh)
-                out["new_width"].append(rw)
-                out["new_height"].append(rh)
-                out["pixel_sum"].append(
-                    sum(c for row in rgrid for px_ in row for c in px_)
-                )
-            yield pd.DataFrame(out)
+            yield pd.DataFrame(_png_audit_columns(pdf["doc_id"]))
 
     return (
         d.select("doc_id").mapInPandas(op, schema=PNG_AUDIT_SCHEMA).orderBy("doc_id")
