@@ -51,67 +51,22 @@ def register(
 
 # A correctness harness that samples a prefix of the registry (the
 # driver checks the first ~50) must see the queries with the least
-# accumulated evidence first. Rotated each round; round 8 fronts the
-# 15 new round-8 operators (no driver row ever), then the 19 queries
-# with no r6 OR r7 driver row (newest evidence is r5-era), then the
-# 50 whose newest row is r6, then the 50 r7-green. A ~50-row prefix
-# therefore refreshes every query older than two rounds, making the
-# r6+r7+r8 union cover all registered queries on <=2-round-old rows.
+# accumulated evidence first. Rotated each round; round 9 fronts the
+# 5 new round-9 operators (no driver row ever), then the 34 queries
+# whose newest driver row is r6 and which the r8 prefix did NOT reach
+# (the r8 sample refreshed the r8-new + r5-era + first-16-of-r6
+# cohorts), then the r7-era block. A ~50-row prefix therefore
+# refreshes everything older than two rounds, keeping the rolling
+# r7+r8+r9 union at full registry coverage on <=2-round-old rows.
 # Pure iteration order - membership and semantics are unchanged.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- new in round 8 (no driver row ever) --------------------------
-    "duplicate_spans",
-    "span_dedup_savings",
-    "cms_frequency_check",
-    "wav_roundtrip_audit",
-    "hll_rollup_check",
-    "span_removal_plan",
-    "source_token_drift",
-    "incremental_duplicate_spans",
-    "span_source_matrix",
-    "copurchase_pagerank",
-    "ann_ivfpq_topk",
-    "bpe_apply",
-    "png_roundtrip_audit",
-    "bpe_fertility_by_source",
-    "int8_quantization_audit",
-    # -- no r6 or r7 driver row (newest evidence is r5) ----------------
-    "orders_with_discounted_lines",
-    "tx_per_store_salted",
-    "segment_event_value_salted",
-    "blamed_suppliers",
-    "approx_quantiles_check",
-    "clicks_asof_purchase",
-    "purchase_click_context",
-    "events_json_extract",
-    "events_props_map",
-    "events_variant_extract",
-    "top3_parts_per_supplier",
-    "revenue_running_total",
-    "events_hourly",
-    "events_sliding_1h30m",
-    "sales_rollup",
-    "daily_revenue_analytics",
-    "events_by_hour_of_day",
-    "priority_price_extremes",
-    "revenue_daily_deltas",
-    # -- newest driver row is r6 ---------------------------------------
-    "decontaminate_split",
-    "repetition_profile",
-    "sample_mixture",
-    "pii_scrub",
-    "pack_sequences",
-    "dedup_savings",
-    "simhash_pairs",
-    "fuzzy_decontaminate",
-    "token_counts",
-    "build_vocab",
-    "bm25_topk",
-    "copurchase_pairs",
-    "rolling_active_users",
-    "daily_value_anomalies",
-    "bigram_merge_candidates",
-    "user_retention_cohorts",
+    # -- new in round 9 (no driver row ever) --------------------------
+    "span_rewrite",
+    "span_rewrite_residual",
+    "quality_probe_weights",
+    "quality_probe_scores",
+    "quality_probe_eval",
+    # -- newest driver row is r6, not reached by the r8 prefix ---------
     "funnel_conversion",
     "dedup_clusters",
     "csv_ingest_check",
@@ -146,7 +101,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "sessionize_events",
     "sessionize_skew_hybrid",
     "session_gap_profile",
-    # -- newest driver row is r7 (freshest evidence, past the prefix) --
+    # -- newest driver row is r7 ---------------------------------------
     "incremental_dedup",
     "bpe_learn",
     "bmp_roundtrip_audit",
@@ -197,6 +152,58 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_order_distribution",
     "orders_status_priority_pivot",
     "order_measures_unpivot",
+    # -- freshest evidence: r8 driver rows (new-in-r8 + r5-era cohort) --
+    "duplicate_spans",
+    "span_dedup_savings",
+    "cms_frequency_check",
+    "wav_roundtrip_audit",
+    "hll_rollup_check",
+    "span_removal_plan",
+    "source_token_drift",
+    "incremental_duplicate_spans",
+    "span_source_matrix",
+    "copurchase_pagerank",
+    "ann_ivfpq_topk",
+    "bpe_apply",
+    "png_roundtrip_audit",
+    "bpe_fertility_by_source",
+    "int8_quantization_audit",
+    "orders_with_discounted_lines",
+    "tx_per_store_salted",
+    "segment_event_value_salted",
+    "blamed_suppliers",
+    "approx_quantiles_check",
+    "clicks_asof_purchase",
+    "purchase_click_context",
+    "events_json_extract",
+    "events_props_map",
+    "events_variant_extract",
+    "top3_parts_per_supplier",
+    "revenue_running_total",
+    "events_hourly",
+    "events_sliding_1h30m",
+    "sales_rollup",
+    "daily_revenue_analytics",
+    "events_by_hour_of_day",
+    "priority_price_extremes",
+    "revenue_daily_deltas",
+    # -- r6-era refreshed by the r8 prefix ------------------------------
+    "decontaminate_split",
+    "repetition_profile",
+    "sample_mixture",
+    "pii_scrub",
+    "pack_sequences",
+    "dedup_savings",
+    "simhash_pairs",
+    "fuzzy_decontaminate",
+    "token_counts",
+    "build_vocab",
+    "bm25_topk",
+    "copurchase_pairs",
+    "rolling_active_users",
+    "daily_value_anomalies",
+    "bigram_merge_candidates",
+    "user_retention_cohorts",
 )
 
 

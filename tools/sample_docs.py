@@ -39,10 +39,13 @@ def main() -> None:
     ap.add_argument(
         "--table",
         default="documents",
-        choices=("documents", "embeddings"),
+        choices=("documents", "embeddings", "lineitem"),
         help="which table to subsample (embeddings hashes the vector "
         "content, so the sample is stable under re-identification "
-        "exactly like the documents mode)",
+        "exactly like the documents mode; lineitem hashes l_orderkey, "
+        "so whole BASKETS survive or drop together — the copurchase "
+        "graph of the sample is a genuine basket subgraph, which is "
+        "what the pagerank big-SF audit needs)",
     )
     args = ap.parse_args()
 
@@ -54,10 +57,11 @@ def main() -> None:
         else f"read_parquet('{src_docs}')"
     )
     dst_docs = os.path.join(args.dst_dir, f"{args.table}.parquet")
-    content = (
-        "text" if args.table == "documents"
-        else "array_to_string(embedding, ',')"
-    )
+    content = {
+        "documents": "text",
+        "embeddings": "array_to_string(embedding, ',')",
+        "lineitem": "l_orderkey::VARCHAR",
+    }[args.table]
     con = duckdb.connect()
     con.execute(
         f"""

@@ -76,20 +76,43 @@ def read_drop_stream(spark: SparkSession, drop: str) -> DataFrame:
     )
 
 
-def drive(df: DataFrame, name: str, mode: str) -> float:
+def _state_summary(q) -> dict:
+    """Aggregate state-store metrics over the query's progress log:
+    total commit + update wall (ms), peak store memory, final row
+    count. Fields come from StreamingQueryProgress.stateOperators."""
+    commit_ms = update_ms = 0
+    peak_mem = rows = 0
+    for prog in q.recentProgress:
+        for so in prog.get("stateOperators", []):
+            commit_ms += so.get("commitTimeMs", 0) or 0
+            update_ms += so.get("allUpdatesTimeMs", 0) or 0
+            peak_mem = max(peak_mem, so.get("memoryUsedBytes", 0) or 0)
+            rows = so.get("numRowsTotal", rows) or rows
+    return {
+        "commit_ms": commit_ms,
+        "update_ms": update_ms,
+        "peak_state_bytes": peak_mem,
+        "state_rows": rows,
+    }
+
+
+def drive(df: DataFrame, name: str, mode: str) -> tuple[float, dict]:
     """Run the stream to completion against a memory sink in the given
-    output mode; returns wall seconds. (The `noop` sink doesn't support
-    streaming on this build; the complete/update-mode result sets here
-    are tiny relative to the input, so the memory sink's collect cost
-    is noise — the work measured is the source scan + state commits.)"""
+    output mode; returns (wall seconds, state metrics). (The `noop`
+    sink doesn't support streaming on this build; the complete/update-
+    mode result sets here are tiny relative to the input, so the memory
+    sink's collect cost is noise — the work measured is the source scan
+    + state commits.)"""
     t0 = time.perf_counter()
     q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
     q.processAllAvailable()
+    sec = round(time.perf_counter() - t0, 3)
+    state = _state_summary(q)
     q.stop()
-    return round(time.perf_counter() - t0, 3)
+    return sec, state
 
 
-def drive_distributed_sink(df: DataFrame, mode: str) -> float:
+def drive_distributed_sink(df: DataFrame, mode: str) -> tuple[float, dict]:
     """Run the stream to completion through a foreachBatch noop BATCH
     write — the production sink shape for high-volume update-mode
     output (each micro-batch is written executor-side, never collected).
@@ -105,25 +128,27 @@ def drive_distributed_sink(df: DataFrame, mode: str) -> float:
         .start()
     )
     q.processAllAvailable()
+    sec = round(time.perf_counter() - t0, 3)
+    state = _state_summary(q)
     q.stop()
-    return round(time.perf_counter() - t0, 3)
+    return sec, state
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
-    ap.add_argument("--chunks", type=int, default=16)
-    ap.add_argument("--cpus", type=int, default=None)
-    args = ap.parse_args()
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
 
-    spark = get_session("stream-bench", cpus=args.cpus)
-    drop, n_rows = stage_chunks(spark, args.sf_dir, args.chunks)
 
-    results: dict[str, dict[str, float]] = {}
+def run_all(
+    spark: SparkSession, sf_dir: str, chunks: int, drop: str, n_rows: int
+) -> dict[str, dict]:
+    """One full pass over the five pipelines with whatever state-store
+    provider the session currently configures."""
+    results: dict[str, dict] = {}
 
     agg = P.hourly_counts_transform(read_drop_stream(spark, drop))
-    sec = drive(agg, "sb_hourly", "complete")
-    results["hourly_agg"] = {"sec": sec, "events_per_sec": round(n_rows / sec)}
+    sec, state = drive(agg, f"sb_hourly_{time.monotonic_ns()}", "complete")
+    results["hourly_agg"] = {"sec": sec, "events_per_sec": round(n_rows / sec), "state": state}
 
     dedup = (
         read_drop_stream(spark, drop)
@@ -132,35 +157,35 @@ def main() -> None:
         .groupBy()  # reduce sink volume: count survivors per batch
         .count()
     )
-    sec = drive(dedup, "sb_dedup", "complete")
-    results["dedup"] = {"sec": sec, "events_per_sec": round(n_rows / sec)}
+    sec, state = drive(dedup, f"sb_dedup_{time.monotonic_ns()}", "complete")
+    results["dedup"] = {"sec": sec, "events_per_sec": round(n_rows / sec), "state": state}
 
     ut = P.user_totals_transform(read_drop_stream(spark, drop))
-    sec = drive_distributed_sink(ut, "update")
-    results["user_totals"] = {"sec": sec, "events_per_sec": round(n_rows / sec)}
+    sec, state = drive_distributed_sink(ut, "update")
+    results["user_totals"] = {"sec": sec, "events_per_sec": round(n_rows / sec), "state": state}
 
     # landing-zone near-dup filter: documents replayed as a file drop
     # through the stream-static band join against the frozen MinHash
     # index (index build is untimed setup — the nightly shape)
-    d = load_table(spark, args.sf_dir, "documents")
+    d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
     import hashlib as _hl
 
-    dkey = _hl.md5(f"docs\x00{args.sf_dir}\x00{args.chunks}".encode()).hexdigest()[:12]
+    dkey = _hl.md5(f"docs\x00{sf_dir}\x00{chunks}".encode()).hexdigest()[:12]
     ddrop = os.path.join(tempfile.gettempdir(), f"stream_bench_docdrop_{dkey}")
-    shutil.rmtree(ddrop, ignore_errors=True)
-    d.repartition(args.chunks).write.parquet(ddrop)
+    if not os.path.isdir(ddrop):
+        d.repartition(chunks).write.parquet(ddrop)
     from data_engineering_challenge_spark.operators.dedup import (
         build_minhash_index,
         minhash_index_dir,
     )
 
-    idx = minhash_index_dir(args.sf_dir)
+    idx = minhash_index_dir(sf_dir)
     if not os.path.exists(os.path.join(idx, "manifest.json")):
-        build_minhash_index(spark, args.sf_dir, idx)
-    ld = P.landing_dedup_transform(spark, args.sf_dir, read_drop_stream(spark, ddrop))
-    sec = drive_distributed_sink(ld, "append")
-    results["landing_dedup"] = {"sec": sec, "events_per_sec": round(n_docs / sec)}
+        build_minhash_index(spark, sf_dir, idx)
+    ld = P.landing_dedup_transform(spark, sf_dir, read_drop_stream(spark, ddrop))
+    sec, state = drive_distributed_sink(ld, "append")
+    results["landing_dedup"] = {"sec": sec, "events_per_sec": round(n_docs / sec), "state": state}
 
     # landing-zone exact-SPAN filter: same doc drop through the
     # foreachBatch probe against the frozen gram-postings index
@@ -170,33 +195,70 @@ def main() -> None:
         span_index_dir,
     )
 
-    sidx = span_index_dir(args.sf_dir)
+    sidx = span_index_dir(sf_dir)
     if not os.path.exists(os.path.join(sidx, "manifest.json")):
-        build_span_index(spark, args.sf_dir, sidx)
+        build_span_index(spark, sf_dir, sidx)
     sout = os.path.join(tempfile.gettempdir(), f"stream_bench_spans_{dkey}")
     sckpt = sout + "_ckpt"
     shutil.rmtree(sout, ignore_errors=True)
     shutil.rmtree(sckpt, ignore_errors=True)
     t0 = time.time()
     P.run_incremental_span_filter(
-        spark, args.sf_dir, sout, sckpt, raw=read_drop_stream(spark, ddrop)
+        spark, sf_dir, sout, sckpt, raw=read_drop_stream(spark, ddrop)
     )
     sec = time.time() - t0
     results["landing_span"] = {"sec": sec, "events_per_sec": round(n_docs / sec)}
+    return results
 
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--chunks", type=int, default=16)
+    ap.add_argument("--cpus", type=int, default=None)
+    ap.add_argument(
+        "--state-store",
+        choices=("hdfs", "rocksdb", "both"),
+        default="hdfs",
+        help="state store provider: default executor-heap HDFS-backed, "
+        "RocksDB (off-heap + native, the billions-of-keys posture), or "
+        "both back to back for comparison",
+    )
+    ap.add_argument("--out", default=None, help="output json path (default STREAM_BENCH.json)")
+    args = ap.parse_args()
+
+    spark = get_session("stream-bench", cpus=args.cpus)
+    drop, n_rows = stage_chunks(spark, args.sf_dir, args.chunks)
+
+    stores = ("hdfs", "rocksdb") if args.state_store == "both" else (args.state_store,)
+    by_store: dict[str, dict] = {}
+    for store in stores:
+        if store == "rocksdb":
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
+        else:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        by_store[store] = run_all(spark, args.sf_dir, args.chunks, drop, n_rows)
+
+    first = by_store[stores[0]]
     line = {
         "metric": "stream_events_per_sec",
-        "value": results["hourly_agg"]["events_per_sec"],
+        "value": first["hourly_agg"]["events_per_sec"],
         "unit": "rows/sec",
         "sf_dir": args.sf_dir,
         "n_events": n_rows,
         "chunks": args.chunks,
-        "pipelines": results,
+        "state_stores": list(stores),
+        "pipelines": first if len(stores) == 1 else None,
+        "by_store": by_store,
     }
-    out = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "STREAM_BENCH.json")
+    out = args.out or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "STREAM_BENCH.json"
+    )
     with open(out, "w") as fh:
         json.dump(line, fh, indent=2)
-    print(json.dumps(line))
+    print(json.dumps({k: v for k, v in line.items() if k != "by_store"}))
+    for store, res in by_store.items():
+        print(store, json.dumps({k: {"sec": v["sec"]} for k, v in res.items()}))
 
 
 if __name__ == "__main__":
