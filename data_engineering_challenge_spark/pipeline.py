@@ -16,10 +16,15 @@ Config schema (all stages optional except source/sink):
       "validate": {"table": "transactions",         # regex contracts
                    "max_invalid_fraction": 0.05},   # fail gate
       "dedup":    {"keys": ["col", ...]},           # exact, keyed
+      "span_dedup": true,                           # exact-span rewrite
+      "quality_filter": {"min_score": 0.5},         # trained probe
       "split":    {"column": "split", "key": "id"}, # stable 8/1/1
       "sink":     {"mode": "plain"|"partitioned"|"zorder",
                    "path": ..., ...},
     }
+
+A config with a top-level "incremental" key instead runs the nightly
+index lifecycle (delta-probe → fold → vacuum) — see _run_incremental.
 
 Every stage reports into the returned stats dict (rows in/out, invalid
 counts, output files) — the reference's load-stats surface, widened.
@@ -190,6 +195,49 @@ def run_pipeline(spark: SparkSession, config: dict[str, Any]) -> dict[str, Any]:
     d = config.get("dedup")
     if d:
         df = df.dropDuplicates(d["keys"])
+
+    sd = config.get("span_dedup")
+    if sd:
+        # exact-span rewrite (Lee et al. ExactSubstr) as a corpus
+        # stage: cut every non-owner duplicated span, keep the doc,
+        # thread the cleaned text back into the pipeline frame.
+        # Requires the corpus shape (doc_id, source, text).
+        from .operators.span_dedup import apply_span_removal
+
+        rewritten = apply_span_removal(df.select("doc_id", "source", "text"))
+        cut = rewritten.agg(
+            F.coalesce(F.sum("tokens_removed"), F.lit(0)).alias("t"),
+            F.count(F.when(F.col("tokens_removed") > 0, True)).alias("d"),
+        ).collect()[0]
+        stats["span_tokens_removed"] = cut["t"]
+        stats["span_docs_cut"] = cut["d"]
+        df = df.drop("text").join(rewritten.select("doc_id", "text"), "doc_id")
+        if "n_chars" in df.columns:  # keep derived length consistent
+            df = df.withColumn("n_chars", F.length("text").cast("long"))
+
+    q = config.get("quality_filter")
+    if q:
+        # trained-probe corpus filter (the CCNet/DCLM stage): fit the
+        # ridge probe on this frame's labels, score every doc with the
+        # frozen weights, keep docs at or above the threshold.
+        from .operators.quality_probe import (
+            SCORE_THRESHOLD,
+            _spark_features,
+            _spark_score,
+            train_quality_probe,
+        )
+
+        w = train_quality_probe(_spark_features(df))
+        thr = q.get("min_score", SCORE_THRESHOLD)
+        kept_ids = (
+            _spark_score(_spark_features(df), w)
+            .filter(F.col("score") >= thr)
+            .select("doc_id")
+        )
+        before = df.count()
+        df = df.join(kept_ids, "doc_id", "semi")
+        stats["quality_weights"] = w
+        stats["quality_dropped"] = before - df.count()
 
     s = config.get("split")
     if s:

@@ -126,3 +126,34 @@ def test_incremental_unknown_kind_rejected(spark, tmp_path, monkeypatch):
                              "indexes": ["bogus"],
                              "probe_out": str(tmp_path / "p")}},
         )
+
+
+def test_span_dedup_and_quality_filter_stages(spark, tmp_path):
+    # corpus source -> span rewrite -> trained-probe filter -> sink,
+    # all from one config
+    out = str(tmp_path / "clean")
+    stats = run_pipeline(
+        spark,
+        {
+            "source": {
+                "format": "parquet",
+                "path": "/root/testdata/sf0.01/documents.parquet",
+            },
+            "span_dedup": True,
+            "quality_filter": {"min_score": 0.0},
+            "sink": {"mode": "plain", "path": out},
+        },
+    )
+    assert stats["rows_in"] == 500
+    assert stats["span_docs_cut"] > 0
+    assert stats["span_tokens_removed"] > 0
+    # min_score 0.0 with scores in ~[0,1]: nearly everything survives,
+    # and the count arithmetic is consistent
+    assert stats["rows_out"] == stats["rows_in"] - stats["quality_dropped"]
+    assert len(stats["quality_weights"]) == 7
+    # the sunk corpus carries the CLEANED text: re-detecting removable
+    # spans on it finds nothing
+    from data_engineering_challenge_spark.operators.span_dedup import _spans_over
+
+    sunk = spark.read.parquet(out)
+    assert _spans_over(sunk.select("doc_id", "text"), removable_only=True).count() == 0
