@@ -453,13 +453,21 @@ def incremental_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_span_probe(spark, table_dir, delta)
 
 
-def incremental_span_probe(
-    spark: SparkSession, table_dir: str, delta_docs: DataFrame
+def _incremental_span_islands(
+    spark: SparkSession,
+    table_dir: str,
+    delta_docs: DataFrame,
+    removable_only: bool = False,
 ) -> DataFrame:
-    """Span-dedup an arbitrary delta doc frame against the frozen gram
-    index at `table_dir` — the probe body shared by the registered
-    batch query and the streaming landing-zone filter (which calls it
-    per micro-batch via foreachBatch, delta := trigger batch)."""
+    """(doc_id, s, e, span_len) of the delta docs' duplicated spans
+    against the FROZEN gram index — the shared body of the incremental
+    probe and the incremental rewrite.
+
+    ``removable_only`` applies the landing-zone ownership policy: the
+    frozen corpus owns every gram it contains (cpost > 0 ⇒ the delta
+    occurrence is removable), and among delta-only dups the lowest
+    delta doc_id owns — the natural extension of the full-run
+    keep-lowest-doc_id policy to a frozen/delta split."""
     from ..sinks.versioned import read_snapshot
 
     # is_delta filter: after extend_span_index folds the delta into
@@ -472,16 +480,18 @@ def incremental_span_probe(
     # Window over the DELTA grams (one gh exchange, delta-sized), then
     # a gh join against the index scan for the corpus contribution.
     wg = Window.partitionBy("gh")
+    keep = (F.col("cpost") + F.col("dpost") <= MAX_SPAN_GRAM_POSTINGS) & (
+        (F.col("cpost") > 0) | (F.col("dmin") != F.col("dmax"))
+    )
+    if removable_only:
+        keep = keep & ((F.col("cpost") > 0) | (F.col("doc_id") != F.col("dmin")))
     probed = (
         grams.withColumn("dpost", F.count(F.lit(1)).over(wg))
         .withColumn("dmin", F.min("doc_id").over(wg))
         .withColumn("dmax", F.max("doc_id").over(wg))
         .join(corpus_idx, "gh", "left")
         .withColumn("cpost", F.coalesce(F.col("cpost"), F.lit(0)))
-        .filter(
-            (F.col("cpost") + F.col("dpost") <= MAX_SPAN_GRAM_POSTINGS)
-            & ((F.col("cpost") > 0) | (F.col("dmin") != F.col("dmax")))
-        )
+        .filter(keep)
         .select("doc_id", "p")
     )
     wd = Window.partitionBy("doc_id").orderBy("p")
@@ -496,7 +506,24 @@ def incremental_span_probe(
             F.sum("new_island").over(wd.rowsBetween(Window.unboundedPreceding, 0)),
         )
         .groupBy("doc_id", "island")
-        .agg((F.max("p") - F.min("p") + SPAN_K).alias("span_len"))
+        .agg(
+            F.min("p").alias("s"),
+            (F.max("p") + (SPAN_K - 1)).alias("e"),
+            (F.max("p") - F.min("p") + SPAN_K).alias("span_len"),
+        )
+        .select("doc_id", "s", "e", "span_len")
+    )
+
+
+def incremental_span_probe(
+    spark: SparkSession, table_dir: str, delta_docs: DataFrame
+) -> DataFrame:
+    """Span-dedup an arbitrary delta doc frame against the frozen gram
+    index at `table_dir` — the probe body shared by the registered
+    batch query and the streaming landing-zone filter (which calls it
+    per micro-batch via foreachBatch, delta := trigger batch)."""
+    return (
+        _incremental_span_islands(spark, table_dir, delta_docs)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_spans"),
@@ -608,10 +635,19 @@ def apply_span_removal(docs: DataFrame) -> DataFrame:
     the longest document) at worst. The token deletion itself is a
     per-row JVM higher-order filter — zero additional shuffles.
     """
-    cuts = (
-        _spans_over(docs.select("doc_id", "text"), removable_only=True)
-        .groupBy("doc_id")
-        .agg(F.sort_array(F.collect_list(F.struct("s", "e"))).alias("cuts"))
+    spans = _spans_over(docs.select("doc_id", "text"), removable_only=True)
+    return _apply_cuts(docs, spans)
+
+
+def _apply_cuts(docs: DataFrame, spans: DataFrame) -> DataFrame:
+    """Delete the tokens inside `spans`' (doc_id, s, e) ranges from
+    `docs` (doc_id, [passthrough cols...], text) — the shared rewrite
+    tail of the full-corpus and incremental span removals. Non-text
+    columns pass through unchanged (planted fixtures and stream
+    batches may lack `source`)."""
+    passthrough = [c for c in docs.columns if c not in ("doc_id", "text")]
+    cuts = spans.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("cuts")
     )
     tok = tokens(F.col("text"))
     pos_in_cut = lambda i: F.exists(  # noqa: E731 — 1-based position i
@@ -623,7 +659,7 @@ def apply_span_removal(docs: DataFrame) -> DataFrame:
         .withColumn("toks", tok)
         .select(
             "doc_id",
-            "source",
+            *passthrough,
             F.when(F.col("cuts").isNull(), F.col("text"))
             .otherwise(F.array_join(kept, " "))
             .alias("text"),
@@ -744,4 +780,114 @@ def span_rewrite_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("doc_id").cast("bigint").alias("residual_docs"),
         F.count(F.lit(1)).cast("bigint").alias("residual_spans"),
         F.coalesce(F.sum("span_len"), F.lit(0)).cast("bigint").alias("residual_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental span REWRITE — the landing-zone cleanse: arriving delta
+# docs lose every span the frozen corpus (or an earlier delta doc)
+# already owns, so what lands downstream is already span-deduplicated.
+
+
+def apply_incremental_span_removal(
+    spark: SparkSession, table_dir: str, delta_docs: DataFrame
+) -> DataFrame:
+    """Cut the removable spans of an arbitrary delta doc frame against
+    the FROZEN gram index (ownership: corpus owns everything it
+    contains; among delta-only dups the lowest delta doc_id owns).
+    Same output contract as :func:`apply_span_removal`, restricted to
+    the delta. Cost: the O(delta) probe + the per-doc HOF cut — the
+    corpus is only touched through the distinct-gram index scan."""
+    spans = _incremental_span_islands(
+        spark, table_dir, delta_docs.select("doc_id", "text"), removable_only=True
+    )
+    return _apply_cuts(delta_docs, spans)
+
+
+@register(
+    "incremental_span_rewrite",
+    oracle=f"""
+        WITH t AS (
+            SELECT doc_id, {_TOK_SQL} AS toks,
+                   ({_INCR_BUCKET_SQL} >= {_INCR_FROM}) AS isd
+            FROM documents
+            WHERE len({_TOK_SQL}) >= {SPAN_K}
+        ), g AS (
+            SELECT doc_id, isd,
+                   unnest(range(1, len(toks) - {SPAN_K - 2})) AS p,
+                   unnest(list_transform(range(1, len(toks) - {SPAN_K - 2}),
+                          i -> ('0x' || substr(md5(array_to_string(toks[i:i+{SPAN_K - 1}], ' ')), 1, 15))::BIGINT)) AS gh
+            FROM t
+        ), d AS (
+            -- delta positions removable under the landing policy:
+            -- capped on TOTAL (corpus+delta) postings, then corpus
+            -- presence OR a lower delta owner
+            SELECT doc_id, p FROM g
+            QUALIFY isd
+               AND COUNT(*) OVER (PARTITION BY gh) <= {MAX_SPAN_GRAM_POSTINGS}
+               AND (COUNT(*) FILTER (WHERE NOT isd) OVER (PARTITION BY gh) > 0
+                    OR doc_id <> MIN(doc_id) FILTER (WHERE isd)
+                                 OVER (PARTITION BY gh))
+        ), isl AS (
+            SELECT doc_id, p,
+                   SUM(CASE WHEN gap IS NULL OR gap > {SPAN_K} THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+            FROM (SELECT doc_id, p,
+                         p - LAG(p) OVER (PARTITION BY doc_id ORDER BY p) AS gap
+                  FROM d)
+        ), spans AS (
+            SELECT doc_id, MIN(p) AS s, MAX(p) + {SPAN_K - 1} AS e
+            FROM isl GROUP BY doc_id, island
+        ), cuts AS (
+            SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS cuts
+            FROM spans GROUP BY doc_id
+        ), rew AS (
+            SELECT d.doc_id, {_TOK_SQL} AS toks, c.cuts
+            FROM documents d JOIN cuts c ON d.doc_id = c.doc_id
+        ), out AS (
+            SELECT doc_id, len(toks) AS n_tokens, {_REWRITE_SQL} AS kept
+            FROM rew
+        )
+        SELECT doc_id,
+               n_tokens::BIGINT AS n_tokens,
+               (n_tokens - len(kept))::BIGINT AS tokens_removed,
+               len(kept)::BIGINT AS n_tokens_after,
+               COALESCE(array_to_string(kept, ' '), '') AS cleaned_text
+        FROM out ORDER BY doc_id
+    """,
+    doc="Landing-zone span CLEANSE of the delta batch (md5 buckets >= "
+    "90) against the frozen gram index: every span the corpus already "
+    "contains — plus delta-internal dups, lowest delta doc_id owns — "
+    "is cut from the arriving doc before it lands. The batch twin of "
+    "the streaming run_incremental_span_rewrite; nightly cost is the "
+    "O(delta) probe + a per-doc JVM token filter, never O(corpus). "
+    "The oracle replays the policy from the full documents table with "
+    "FILTERed window aggregates over the gram partition (corpus count "
+    "> 0 OR a lower delta owner) and hash-compares the full cleaned "
+    "text of every cut delta doc.",
+    tags=("text", "dedup", "incremental", "extension"),
+)
+def incremental_span_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, tokens_removed, n_tokens_after, cleaned_text)
+    for every CUT delta document."""
+    import os as _os
+
+    from .dedup import INCR_DELTA_FROM, _incr_bucket
+
+    table_dir = span_index_dir(sf_dir)
+    if not _os.path.exists(_os.path.join(table_dir, "manifest.json")):
+        build_span_index(spark, sf_dir, table_dir)
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    delta = d.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
+    return (
+        apply_incremental_span_removal(spark, table_dir, delta)
+        .filter(F.col("tokens_removed") > 0)
+        .select(
+            "doc_id",
+            "n_tokens",
+            "tokens_removed",
+            "n_tokens_after",
+            F.col("text").alias("cleaned_text"),
+        )
+        .orderBy("doc_id")
     )

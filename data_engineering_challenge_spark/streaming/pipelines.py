@@ -500,42 +500,25 @@ def incremental_dedup_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return landing_dedup_transform(spark, sf_dir, raw)
 
 
-def run_incremental_span_filter(
+def _run_landing_span_stream(
     spark: SparkSession,
     sf_dir: str,
     out_path: str,
     checkpoint: str,
-    raw: DataFrame | None = None,
+    raw: DataFrame | None,
+    batch_op,
 ) -> None:
-    """Landing-zone exact-SPAN filter: streamed delta documents probed
-    per micro-batch against the FROZEN gram-postings index
-    (operators/span_dedup.py), maintaining a queryable per-doc span
-    table at `out_path`.
-
-    Span merging needs per-doc ordered windows — batch-only operators —
-    so the probe runs inside foreachBatch (Spark's documented escape
-    hatch for batch-only ops in a stream): each trigger executes
-    incremental_span_probe with delta := that trigger's docs. The
-    contract is therefore PER-TRIGGER equivalence to the batch
-    incremental_duplicate_spans — pinned in tests by comparing a
-    2-trigger run against per-slice batch runs. Cross-trigger
-    delta-delta spans are out of scope (exactly the stream/batch split
-    incremental_dedup_stream documents); the nightly fold
-    (extend_span_index) makes them visible to the next day's probe.
-
-    Restart safety: foreachBatch re-delivers a batch only after
-    failure, and the sink is an idempotent keyed upsert (merge_upsert
-    on doc_id — replaying a batch rewrites the same rows)."""
+    """Shared machinery of the landing-zone span pipelines: stream the
+    delta docs, run `batch_op(spark_b, table_dir, delta)` per trigger
+    (foreachBatch — span merging needs per-doc ordered windows, a
+    batch-only operator), keyed-upsert the result into `out_path` with
+    the rename-aside atomic publish + crash recovery."""
     import os as _os
     import shutil as _shutil
 
     from ..operators.dedup import INCR_DELTA_FROM, _incr_bucket
     from ..operators.merge import merge_upsert
-    from ..operators.span_dedup import (
-        build_span_index,
-        incremental_span_probe,
-        span_index_dir,
-    )
+    from ..operators.span_dedup import build_span_index, span_index_dir
 
     apply_runtime_confs(spark)
     table_dir = span_index_dir(sf_dir)
@@ -560,7 +543,7 @@ def run_incremental_span_filter(
         if not _os.path.isdir(out_path) and _os.path.isdir(old_path):
             _os.replace(old_path, out_path)
         delta = batch_df.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
-        out = incremental_span_probe(spark_b, table_dir, delta)
+        out = batch_op(spark_b, table_dir, delta)
         if _os.path.isdir(out_path):
             current = spark_b.read.parquet(out_path)
             merged = merge_upsert(current, out, ["doc_id"])
@@ -587,3 +570,55 @@ def run_incremental_span_filter(
     )
     q.processAllAvailable()
     q.stop()
+
+
+def run_incremental_span_filter(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint: str,
+    raw: DataFrame | None = None,
+) -> None:
+    """Landing-zone exact-SPAN filter: streamed delta documents probed
+    per micro-batch against the FROZEN gram-postings index
+    (operators/span_dedup.py), maintaining a queryable per-doc span
+    table at `out_path`.
+
+    The contract is PER-TRIGGER equivalence to the batch
+    incremental_duplicate_spans — pinned in tests by comparing a
+    2-trigger run against per-slice batch runs. Cross-trigger
+    delta-delta spans are out of scope (exactly the stream/batch split
+    incremental_dedup_stream documents); the nightly fold
+    (extend_span_index) makes them visible to the next day's probe.
+
+    Restart safety: foreachBatch re-delivers a batch only after
+    failure, and the sink is an idempotent keyed upsert (merge_upsert
+    on doc_id — replaying a batch rewrites the same rows)."""
+    from ..operators.span_dedup import incremental_span_probe
+
+    _run_landing_span_stream(
+        spark, sf_dir, out_path, checkpoint, raw, incremental_span_probe
+    )
+
+
+def run_incremental_span_rewrite(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint: str,
+    raw: DataFrame | None = None,
+) -> None:
+    """Landing-zone span CLEANSE: the arriving delta docs land at
+    `out_path` with every corpus-owned (or lower-delta-owned) span
+    already CUT — the streaming twin of the registered
+    incremental_span_rewrite query, maintaining a cleaned-docs landing
+    table instead of a span report. Same per-trigger equivalence,
+    idempotent doc_id upsert, and rename-aside publish as the filter
+    pipeline; downstream consumers read span-deduplicated text without
+    a separate rewrite job."""
+    from ..operators.span_dedup import apply_incremental_span_removal
+
+    def op(spark_b, table_dir, delta):
+        return apply_incremental_span_removal(spark_b, table_dir, delta)
+
+    _run_landing_span_stream(spark, sf_dir, out_path, checkpoint, raw, op)

@@ -227,3 +227,69 @@ def test_stream_span_filter_second_trigger_upserts(
     # prior rows untouched; the new doc's 12-token span appended
     assert {k: v for k, v in second.items() if k != new_doc} == first
     assert second[new_doc] == (1, 12, 12)
+
+
+def test_incremental_rewrite_cuts_under_landing_policy(
+    spark, straddle_corpus_dir, tmp_path, monkeypatch
+):
+    from data_engineering_challenge_spark.operators.span_dedup import (
+        incremental_span_rewrite,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_rw"))
+    delta_ids = [i for i in range(400) if _bucket(i) >= INCR_DELTA_FROM]
+    got = {r["doc_id"]: r for r in incremental_span_rewrite(spark, straddle_corpus_dir).collect()}
+    # corpus-owned BLOCK_A is cut from the arriving doc even though the
+    # corpus owner's doc_id may be HIGHER (corpus-owns policy, not
+    # global lowest-id); delta-delta BLOCK_B: lowest delta id keeps it
+    assert set(got) == {delta_ids[0], delta_ids[2]}
+    assert got[delta_ids[0]]["tokens_removed"] == 12
+    assert got[delta_ids[0]]["cleaned_text"] == "delta lead ending"
+    assert got[delta_ids[2]]["tokens_removed"] == 8
+    assert got[delta_ids[2]]["cleaned_text"] == "other start done"
+
+
+def test_stream_span_rewrite_matches_batch_and_restarts_clean(
+    spark, straddle_corpus_dir, tmp_path, monkeypatch
+):
+    from data_engineering_challenge_spark.operators.dedup import _incr_bucket
+    from data_engineering_challenge_spark.operators.span_dedup import (
+        apply_incremental_span_removal,
+        build_span_index,
+        span_index_dir,
+    )
+    from data_engineering_challenge_spark.streaming.pipelines import (
+        run_incremental_span_rewrite,
+    )
+    from pyspark.sql import functions as F
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_srw"))
+    out = str(tmp_path / "cleaned_docs")
+    ckpt = str(tmp_path / "ckpt_rw")
+    run_incremental_span_rewrite(spark, straddle_corpus_dir, out, ckpt)
+    got = {
+        r["doc_id"]: (r["text"], r["tokens_removed"])
+        for r in spark.read.parquet(out).collect()
+    }
+    # one trigger holds the whole fixture -> per-trigger semantics
+    # coincide with the batch rewrite over the full delta
+    table_dir = span_index_dir(straddle_corpus_dir)
+    docs = spark.read.parquet(os.path.join(straddle_corpus_dir, "documents.parquet"))
+    if "source" not in docs.columns:
+        docs = docs.withColumn("source", F.lit(None).cast("string"))
+    delta = docs.filter(_incr_bucket(F.col("doc_id")) >= 90)
+    batch = {
+        r["doc_id"]: (r["text"], r["tokens_removed"])
+        for r in apply_incremental_span_removal(spark, table_dir, delta).collect()
+    }
+    assert got == batch
+    # every landed delta doc is present (uncut ones pass through), and
+    # the cut ones carry cleaned text
+    assert any(tr > 0 for _, tr in got.values())
+    # restart with no new data: byte-stable landing table
+    run_incremental_span_rewrite(spark, straddle_corpus_dir, out, ckpt)
+    got2 = {
+        r["doc_id"]: (r["text"], r["tokens_removed"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == got
