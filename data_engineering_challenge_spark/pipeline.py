@@ -141,6 +141,21 @@ def _run_incremental(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]
                 build_minhash_index(spark, sf_dir, table_dir)
             probe = incremental_dedup(spark, sf_dir)
             fold = lambda: extend_minhash_index(spark, sf_dir, table_dir)  # noqa: E731
+        elif kind == "quality":
+            from .operators.quality_probe import (
+                build_quality_moments,
+                extend_quality_moments,
+                incremental_quality_weights,
+                quality_moments_dir,
+            )
+
+            table_dir = quality_moments_dir(sf_dir)
+            if not os.path.exists(os.path.join(table_dir, "manifest.json")):
+                build_quality_moments(spark, sf_dir, table_dir)
+            # probe = the refreshed model (frozen corpus moments + fresh
+            # delta moments — bit-identical to a full retrain)
+            probe = incremental_quality_weights(spark, sf_dir)
+            fold = lambda: extend_quality_moments(spark, sf_dir, table_dir)  # noqa: E731
         else:
             raise ValueError(f"unknown incremental index kind: {kind}")
         out_path = os.path.join(cfg["probe_out"], kind)

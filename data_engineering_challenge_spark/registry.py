@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_probe_scores",
     "quality_probe_eval",
     "incremental_span_rewrite",
+    "incremental_quality_weights",
     # -- newest driver row is r6, not reached by the r8 prefix ---------
     "funnel_conversion",
     "dedup_clusters",

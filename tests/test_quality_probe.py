@@ -137,3 +137,49 @@ def test_empty_corpus_degrades_to_zero_weights(spark, tmp_path_factory):
     empty = load_table(spark, path, "documents").filter(F.lit(False))
     w = qp.train_quality_probe(qp._spark_features(empty))
     assert w == [0.0] * qp.K  # A = λI, b = 0
+
+
+def test_incremental_weights_bit_equal_full_retrain(spark, tmp_path, monkeypatch):
+    # additive sufficient statistics: frozen corpus moments + fresh
+    # delta moments solve to EXACTLY the full-retrain weights
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx"))
+    sf = "/root/testdata/sf0.01"
+    inc = {
+        r["feature"]: r["weight"]
+        for r in qp.incremental_quality_weights(spark, sf).collect()
+    }
+    from data_engineering_challenge_spark.catalog import load_table
+
+    full = qp.train_quality_probe(
+        qp._spark_features(load_table(spark, sf, "documents"))
+    )
+    assert inc == {qp.FEATURES[i][0]: full[i] for i in range(qp.K)}
+
+
+def test_extend_quality_moments_idempotent(spark, tmp_path, monkeypatch):
+    from data_engineering_challenge_spark.sinks.versioned import read_snapshot
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx2"))
+    sf = "/root/testdata/sf0.01"
+    tdir = qp.quality_moments_dir(sf)
+    qp.build_quality_moments(spark, sf, tdir)
+    v2 = qp.extend_quality_moments(spark, sf, tdir)
+    v3 = qp.extend_quality_moments(spark, sf, tdir)
+    assert (v2, v3) == (2, 3)
+    rows2 = sorted(map(tuple, read_snapshot(spark, tdir, 2).collect()))
+    rows3 = sorted(map(tuple, read_snapshot(spark, tdir, 3).collect()))
+    assert rows2 == rows3
+    # folded snapshot sums to the full-corpus moments
+    full_row = qp._moment_row(
+        qp._spark_features(
+            __import__(
+                "data_engineering_challenge_spark.catalog", fromlist=["load_table"]
+            ).load_table(spark, sf, "documents")
+        )
+    )
+    from decimal import Decimal
+
+    folded = {}
+    for r in read_snapshot(spark, tdir, 3).collect():
+        folded[r["name"]] = folded.get(r["name"], Decimal(0)) + r["val"]
+    assert folded == {n: Decimal(full_row[n]) for n in qp._MOMENT_NAMES}
