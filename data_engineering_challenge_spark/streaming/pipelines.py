@@ -622,3 +622,32 @@ def run_incremental_span_rewrite(
         return apply_incremental_span_removal(spark_b, table_dir, delta)
 
     _run_landing_span_stream(spark, sf_dir, out_path, checkpoint, raw, op)
+
+
+def quality_score_transform(d: DataFrame, w: list[float]) -> DataFrame:
+    """Frozen-model quality scoring as a STATELESS transform (pure
+    projections — featurize + w·x dot product), so the identical plan
+    runs under readStream with zero state store: the corpus-filter
+    stage applied at ingest time."""
+    from ..operators.quality_probe import _spark_features, _spark_score
+
+    return _spark_score(_spark_features(d), w).select("doc_id", "y", "score", "pred")
+
+
+def quality_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of quality_probe_scores' scoring pass: documents
+    stream through the FROZEN stored model (trained/published on first
+    use — the versioned-snapshot protocol), emitting per-doc scores.
+    Stateless ⇒ per-trigger output is exactly the batch scoring of that
+    trigger's docs, which is what the test pins."""
+    from ..operators.quality_probe import _load_weights
+
+    apply_runtime_confs(spark)
+    w = _load_weights(spark, sf_dir)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir_for(f"{sf_dir}/documents.parquet", schema.simpleString()))
+    )
+    return quality_score_transform(raw, w)

@@ -183,3 +183,42 @@ def test_extend_quality_moments_idempotent(spark, tmp_path, monkeypatch):
     for r in read_snapshot(spark, tdir, 3).collect():
         folded[r["name"]] = folded.get(r["name"], Decimal(0)) + r["val"]
     assert folded == {n: Decimal(full_row[n]) for n in qp._MOMENT_NAMES}
+
+
+def test_quality_score_stream_matches_batch(spark, planted_dir, tmp_path, monkeypatch):
+    from data_engineering_challenge_spark.streaming.pipelines import (
+        quality_score_stream,
+        run_stream_to_memory,
+    )
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_qs"))
+    # the file-drop source needs documents.parquet as a FILE (the
+    # symlink-staging path); re-stage the planted dir via pandas
+    import pandas as pd
+
+    from data_engineering_challenge_spark.catalog import load_table as _lt
+
+    fdir = tmp_path / "planted_file"
+    fdir.mkdir()
+    _lt(spark, planted_dir, "documents").toPandas().to_parquet(
+        fdir / "documents.parquet", index=False
+    )
+    planted_dir = str(fdir)
+    stream = quality_score_stream(spark, planted_dir)
+    run_stream_to_memory(stream, "quality_scores_t", "append")
+    got = {
+        r["doc_id"]: (r["score"], r["pred"])
+        for r in spark.sql("SELECT * FROM quality_scores_t").collect()
+    }
+    from data_engineering_challenge_spark.catalog import load_table
+
+    w = qp._load_weights(spark, planted_dir)
+    batch = {
+        r["doc_id"]: (r["score"], r["pred"])
+        for r in qp._spark_score(
+            qp._spark_features(load_table(spark, planted_dir, "documents")), w
+        )
+        .select("doc_id", "score", "pred")
+        .collect()
+    }
+    assert got == batch and len(got) == 40
