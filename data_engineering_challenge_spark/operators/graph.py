@@ -486,3 +486,119 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select(
         "part", F.col("r").alias("rank_scaled")
     ).orderBy(F.col("rank_scaled").desc(), F.col("part").asc()).limit(PR_TOPK)
+
+
+def apply_dedup_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the doc-level deduped corpus: per near-dup cluster
+    keep exactly the retention winner (longest doc, ties to lowest
+    doc_id — dedup_retention_plan's policy), drop the rest, pass
+    singletons through. Returns the KEPT documents frame.
+
+    One cluster_id shuffle for the winner agg + one keep semi-join —
+    the plan's cost plus a join, never a window over raw docs."""
+    d = load_table(spark, sf_dir, "documents")
+    cl = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id")
+    best = F.max(
+        F.struct(F.col("n_chars").alias("nc"), (-F.col("doc_id")).alias("nd"))
+    )
+    winners = (
+        cl.join(d.select("doc_id", "n_chars"), "doc_id")
+        .groupBy("cluster_id")
+        .agg(best.alias("b"))
+        .select("cluster_id", (-F.col("b.nd")).cast("bigint").alias("keep_id"))
+    )
+    kept_ids = (
+        cl.join(winners, "cluster_id")
+        .filter(F.col("doc_id") == F.col("keep_id"))
+        .select("doc_id")
+    )
+    return d.join(kept_ids, "doc_id", "semi")
+
+
+@register(
+    "dedup_retention_apply",
+    oracle=f"""
+        WITH n AS (
+            SELECT doc_id, source, n_chars, text, {_NORM_SQL} AS norm
+            FROM documents
+        ),
+        f AS (
+            SELECT doc_id, source, n_chars, text,
+                   CASE WHEN length(norm) >= 8 THEN
+                       list_min(list_transform(range(1, length(norm) - 6),
+                                i -> md5(norm[i:i+7])))
+                   ELSE md5(norm) END AS msf
+            FROM n
+        ),
+        c AS (
+            SELECT doc_id, source, n_chars, text,
+                   CASE WHEN msf IS NULL THEN doc_id
+                        ELSE MIN(doc_id) OVER (PARTITION BY msf) END AS cluster_id
+            FROM f
+        ),
+        k AS (
+            SELECT *,
+                   first_value(doc_id) OVER (
+                       PARTITION BY cluster_id
+                       ORDER BY n_chars DESC, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+                   ) AS keep_id
+            FROM c
+        )
+        SELECT source,
+               COUNT(*) AS docs_total,
+               CAST(COUNT(*) FILTER (WHERE doc_id = keep_id) AS BIGINT) AS docs_kept,
+               CAST(COUNT(*) FILTER (WHERE doc_id <> keep_id) AS BIGINT) AS docs_dropped,
+               CAST(COALESCE(SUM(n_chars) FILTER (WHERE doc_id = keep_id), 0)
+                    AS BIGINT) AS chars_kept,
+               CAST(COALESCE(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT
+                                 ::DECIMAL(38,0)) FILTER (WHERE doc_id = keep_id), 0)
+                    % 1099511627776 AS BIGINT) AS kept_content_sum
+        FROM k
+        GROUP BY source ORDER BY source
+    """,
+    doc="The APPLY half of doc-level dedup (the rewrite counterpart "
+    "dedup_retention_plan lacked, mirroring the span plan→rewrite "
+    "closure): materialize the kept corpus under the longest-wins "
+    "policy and report, per source, kept/dropped doc counts, kept "
+    "chars, and an order-independent content checksum of the kept set "
+    "(sum of 60-bit text hashes mod 2^40, exact decimal accumulation) "
+    "— the checksum pins WHICH docs survived, not just how many. The "
+    "oracle replays clustering via the algebraic shortcut (see "
+    "dedup_clusters) and the same first-value policy.",
+    tags=("dedup", "graph", "extension"),
+)
+def dedup_retention_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, docs_total, docs_kept, docs_dropped, chars_kept,
+    kept_content_sum) of the materialized deduped corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    kept = apply_dedup_retention(spark, sf_dir)
+    gh = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("decimal(38,0)")
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        (F.coalesce(F.sum(gh), F.lit(0).cast("decimal(38,0)")) % F.lit(1099511627776))
+        .cast("bigint")
+        .alias("kept_content_sum"),
+    )
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("docs_total"))
+    return (
+        totals.join(kept_agg, "source", "left")
+        .select(
+            "source",
+            "docs_total",
+            F.coalesce("docs_kept", F.lit(0)).cast("bigint").alias("docs_kept"),
+            (F.col("docs_total") - F.coalesce("docs_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("docs_dropped"),
+            F.coalesce("chars_kept", F.lit(0)).cast("bigint").alias("chars_kept"),
+            F.coalesce("kept_content_sum", F.lit(0))
+            .cast("bigint")
+            .alias("kept_content_sum"),
+        )
+        .orderBy("source")
+    )

@@ -68,6 +68,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_probe_eval",
     "incremental_span_rewrite",
     "incremental_quality_weights",
+    "dedup_retention_apply",
     # -- newest driver row is r6, not reached by the r8 prefix ---------
     "funnel_conversion",
     "dedup_clusters",

@@ -106,3 +106,31 @@ def test_copurchase_pagerank_integer_arithmetic_exact(spark, tmp_path_factory):
         r = {p: base + (85 * inflow[p]) // 100 for p in deg}
     assert got == r
     assert max(got, key=got.get) == 1, "star center must rank highest"
+
+
+def test_apply_dedup_retention_keeps_longest(spark, tmp_path):
+    # planted near-dup cluster: 3 docs sharing a min-shingle; the
+    # longest survives, ties impossible by construction; the singleton
+    # passes through
+    import pandas as pd
+
+    from data_engineering_challenge_spark.operators.graph import (
+        apply_dedup_retention,
+        dedup_retention_apply,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river"
+    rows = [
+        {"doc_id": 1, "source": "a", "text": base, "n_chars": len(base)},
+        {"doc_id": 2, "source": "a", "text": base + " tonight", "n_chars": len(base) + 8},
+        {"doc_id": 3, "source": "b", "text": base + " x", "n_chars": len(base) + 2},
+        {"doc_id": 4, "source": "b", "text": "completely different words entirely", "n_chars": 36},
+    ]
+    root = tmp_path / "ret"
+    root.mkdir()
+    pd.DataFrame(rows).to_parquet(root / "documents.parquet", index=False)
+    kept = {r["doc_id"] for r in apply_dedup_retention(spark, str(root)).collect()}
+    assert kept == {2, 4}  # longest of the cluster + the singleton
+    rep = {r["source"]: r for r in dedup_retention_apply(spark, str(root)).collect()}
+    assert rep["a"]["docs_kept"] == 1 and rep["a"]["docs_dropped"] == 1
+    assert rep["b"]["docs_kept"] == 1 and rep["b"]["docs_dropped"] == 1
