@@ -208,6 +208,19 @@ def run_all(
     )
     sec = time.time() - t0
     results["landing_span"] = {"sec": sec, "events_per_sec": round(n_docs / sec)}
+
+    # landing-zone span REWRITE (r9): same doc drop, cleaned-docs
+    # landing table (probe + per-doc token cut per trigger)
+    rout = os.path.join(tempfile.gettempdir(), f"stream_bench_rewrite_{dkey}")
+    rckpt = rout + "_ckpt"
+    shutil.rmtree(rout, ignore_errors=True)
+    shutil.rmtree(rckpt, ignore_errors=True)
+    t0 = time.time()
+    P.run_incremental_span_rewrite(
+        spark, sf_dir, rout, rckpt, raw=read_drop_stream(spark, ddrop)
+    )
+    sec = time.time() - t0
+    results["landing_rewrite"] = {"sec": sec, "events_per_sec": round(n_docs / sec)}
     return results
 
 
