@@ -562,3 +562,119 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("est_jaccard") >= FUZZY_DECON_EST_JACCARD)
         .orderBy("test_doc", "train_doc")
     )
+
+
+@register(
+    "decontaminate_apply",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, {_SPLIT_CASE_SQL} AS split, unnest(list_distinct({_gram_sql(DECON_NGRAM)})) AS gram
+            FROM documents
+            WHERE len({_TOK_SQL}) >= {DECON_NGRAM}
+        ),
+        hashed AS (
+            SELECT doc_id, split,
+                   ('0x' || substr(md5(gram), 1, 15))::BIGINT AS gh
+            FROM grams
+        ),
+        train_ok AS (
+            SELECT doc_id AS train_doc, gh FROM hashed WHERE split = 'train'
+            QUALIFY COUNT(*) OVER (PARTITION BY gh) <= {MAX_GRAM_TRAIN_DF}
+        ),
+        contam AS (
+            SELECT DISTINCT tr.train_doc
+            FROM hashed t JOIN train_ok tr USING (gh)
+            WHERE t.split = 'test'
+        ),
+        train_docs AS (
+            SELECT doc_id, source, text FROM documents
+            WHERE {_SPLIT_CASE_SQL} = 'train'
+        )
+        SELECT d.source,
+               COUNT(*)::BIGINT AS train_docs_total,
+               CAST(COUNT(c.train_doc) AS BIGINT) AS train_docs_dropped,
+               CAST(COUNT(*) - COUNT(c.train_doc) AS BIGINT) AS train_docs_kept,
+               CAST(COALESCE(SUM(('0x' || substr(md5(d.text), 1, 15))::BIGINT
+                                 ::DECIMAL(38,0)) FILTER (WHERE c.train_doc IS NULL), 0)
+                    % 1099511627776 AS BIGINT) AS kept_content_sum
+        FROM train_docs d LEFT JOIN contam c ON d.doc_id = c.train_doc
+        GROUP BY d.source ORDER BY d.source
+    """,
+    doc="The APPLY half of split decontamination (GPT-3/Lee et al. "
+    "practice: the eval set is fixed, so contaminated TRAIN docs are "
+    "dropped): materialize the decontaminated train split by removing "
+    "every train doc sharing any capped 8-gram with a test doc, and "
+    "pin WHICH docs survived per source with the order-independent "
+    "kept-set content checksum (sum of 60-bit text hashes mod 2^40, "
+    "exact decimal accumulation). Same gh join and boilerplate cap as "
+    "decontaminate_split — the audit and the cut share one plan shape.",
+    tags=("text", "dedup", "sampling", "extension"),
+)
+def decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, train_docs_total, train_docs_dropped, train_docs_kept,
+    kept_content_sum) of the decontaminated train split."""
+    from pyspark.sql import Window
+
+    def grams_side(keep_split: str, id_alias: str) -> DataFrame:
+        d = spread_scan(
+            load_table(spark, sf_dir, "documents"), spark, "doc_id"
+        )
+        tok = tokens(F.col("text"))
+        return (
+            d.select("doc_id", _split_col().alias("split"), tok.alias("toks"))
+            .filter((F.col("split") == keep_split) & (F.size("toks") >= DECON_NGRAM))
+            .select(
+                F.col("doc_id").alias(id_alias),
+                F.explode(
+                    F.array_distinct(word_ngrams(F.col("toks"), DECON_NGRAM))
+                ).alias("gram"),
+            )
+            .select(
+                id_alias,
+                F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 15), 16, 10)
+                .cast("bigint")
+                .alias("gh"),
+            )
+        )
+
+    train_ok = (
+        grams_side("train", "train_doc")
+        .withColumn("df", F.count(F.lit(1)).over(Window.partitionBy("gh")))
+        .filter(F.col("df") <= MAX_GRAM_TRAIN_DF)
+        .drop("df")
+    )
+    contam = (
+        grams_side("test", "test_doc")
+        .join(train_ok, "gh")
+        .select("train_doc")
+        .distinct()
+        .withColumn("is_c", F.lit(1))
+    )
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    train_docs = d.filter(_split_col() == "train").select("doc_id", "source", "text")
+    gh_content = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("decimal(38,0)")
+    )
+    return (
+        train_docs.join(
+            contam.withColumnRenamed("train_doc", "doc_id"), "doc_id", "left"
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("train_docs_total"),
+            F.count("is_c").cast("bigint").alias("train_docs_dropped"),
+            (F.count(F.lit(1)) - F.count("is_c")).cast("bigint").alias("train_docs_kept"),
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("is_c").isNull(), gh_content)),
+                    F.lit(0).cast("decimal(38,0)"),
+                )
+                % F.lit(1099511627776)
+            )
+            .cast("bigint")
+            .alias("kept_content_sum"),
+        )
+        .orderBy("source")
+    )

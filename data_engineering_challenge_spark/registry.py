@@ -69,6 +69,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "incremental_span_rewrite",
     "incremental_quality_weights",
     "dedup_retention_apply",
+    "decontaminate_apply",
     # -- newest driver row is r6, not reached by the r8 prefix ---------
     "funnel_conversion",
     "dedup_clusters",
