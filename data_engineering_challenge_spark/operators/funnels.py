@@ -141,3 +141,63 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             "conversion_rate"
         ),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS prev_type
+            FROM events
+        ),
+        pairs AS (
+            SELECT prev_type, event_type AS next_type,
+                   COUNT(*)::BIGINT AS n_transitions
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type
+        )
+        SELECT prev_type, next_type, n_transitions,
+               CAST(n_transitions AS DOUBLE)
+                   / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+                          AS DOUBLE) AS p_next
+        FROM pairs ORDER BY prev_type, next_type
+    """,
+    doc="First-order Markov transition matrix over per-user event "
+    "sequences (the user-journey model behind next-action prediction "
+    "and funnel design): LAG within (user, ts, event_id) order, exact "
+    "transition counts, row-normalized probabilities via one final "
+    "division. One shuffle on user_id for the window, one on "
+    "(prev, next) for the count; the matrix itself is "
+    "|event_types|^2-sized — constant, never corpus-sized.",
+    tags=("events", "window", "extension"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(prev_type, next_type, n_transitions, p_next) over per-user
+    event sequences."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            "user_id",
+            "event_type",
+            F.lag("event_type").over(w).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_transitions"))
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wp).cast("double")
+        ).alias("p_next"),
+    ).orderBy("prev_type", "next_type")

@@ -678,3 +678,83 @@ def decontaminate_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# 9. training-shard export planning: hash sharding + balance audit
+
+N_EXPORT_SHARDS = 16
+
+
+@register(
+    "shard_balance_audit",
+    oracle=f"""
+        WITH d AS (
+            SELECT ('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8))
+                       ::BIGINT % {N_EXPORT_SHARDS} AS shard_id,
+                   len({_TOK_SQL})::BIGINT AS n_tokens,
+                   ('0x' || substr(md5(text), 1, 15))::BIGINT AS th
+            FROM documents
+        ),
+        per AS (
+            SELECT shard_id,
+                   COUNT(*)::BIGINT AS n_docs,
+                   SUM(n_tokens)::BIGINT AS n_tokens,
+                   CAST(SUM(th::DECIMAL(38,0)) % 1099511627776 AS BIGINT)
+                       AS content_sum
+            FROM d GROUP BY shard_id
+        )
+        SELECT shard_id, n_docs, n_tokens, content_sum,
+               CAST(n_tokens AS DOUBLE) * {N_EXPORT_SHARDS}
+                   / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS load_ratio
+        FROM per ORDER BY shard_id
+    """,
+    doc="Training-shard export planning: docs hash-assigned to "
+    f"{N_EXPORT_SHARDS} shards (salted content-hash of doc_id — "
+    "embarrassingly parallel, no global sort, THE 100 TB sharding "
+    "strategy), audited per shard with doc/token counts, an "
+    "order-independent content checksum (the shard manifest), and the "
+    "token-load ratio vs the perfectly-balanced ideal (1.0). The audit "
+    "is the proof hash sharding balances: at corpus scale the ratio "
+    "concentrates around 1 by law of large numbers.",
+    tags=("text", "sampling", "sink", "extension"),
+)
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard_id, n_docs, n_tokens, content_sum, load_ratio) under
+    salted hash sharding of documents into N_EXPORT_SHARDS."""
+    from pyspark.sql import Window
+
+    d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
+        load_table(spark, sf_dir, "documents"), spark, "doc_id"
+    )
+    th = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("decimal(38,0)")
+    )
+    per = (
+        d.select(
+            _md5_bucket(F.col("doc_id"), N_EXPORT_SHARDS, salt="shard").alias("shard_id"),
+            F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+            th.alias("th"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+            (F.sum("th") % F.lit(1099511627776)).cast("bigint").alias("content_sum"),
+        )
+    )
+    # 16-row frame: the unpartitioned window is a no-op at scale.
+    w = Window.partitionBy()
+    return per.select(
+        "shard_id",
+        "n_docs",
+        "n_tokens",
+        "content_sum",
+        (
+            F.col("n_tokens").cast("double")
+            * N_EXPORT_SHARDS
+            / F.sum("n_tokens").over(w).cast("double")
+        ).alias("load_ratio"),
+    ).orderBy("shard_id")

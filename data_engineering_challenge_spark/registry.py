@@ -61,6 +61,12 @@ def register(
 # Pure iteration order - membership and semantics are unchanged.
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 9 (no driver row ever) --------------------------
+    "scd2_customer_history",
+    "orders_snapshot_diff",
+    "bigram_lm_score",
+    "shard_balance_audit",
+    "event_transition_matrix",
+    "kmeans_embeddings",
     "span_rewrite",
     "span_rewrite_residual",
     "quality_probe_weights",
@@ -297,10 +303,12 @@ def _load_all() -> None:
         return
     from .operators import (  # noqa: F401
         analytics_ext,
+        clustering,
         dedup,
         funnels,
         graph,
         ingest_check,
+        lm,
         merge,
         multimodal,
         pipeline_ops,

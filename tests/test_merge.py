@@ -52,3 +52,105 @@ def test_merge_upsert_composite_and_null_keys(spark):
     )
     out = merge_upsert(target, source, ["a", "b"])
     assert _rows(out) == {(1, "x", 1), (1, None, 99)}
+
+
+# ---------------------------------------------------------------------------
+# SCD2 semantics (scd2_apply)
+# ---------------------------------------------------------------------------
+
+def _scd2_target(spark, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("v", T.StringType()),
+            T.StructField("valid_from", T.IntegerType()),
+            T.StructField("valid_to", T.IntegerType()),
+            T.StructField("is_current", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)
+
+
+def test_scd2_change_close_insert_and_noop(spark):
+    from data_engineering_challenge_spark.operators.merge import scd2_apply
+
+    target = _scd2_target(
+        spark,
+        [
+            (1, "a", 0, None, True),   # will change
+            (2, "b", 0, None, True),   # identical re-send -> no-op
+            (3, "c", 0, None, True),   # not in delta -> untouched
+            (4, "old", 0, 1, False),   # history row -> untouched
+            (4, "new", 1, None, True), # current of a key with history
+        ],
+    )
+    delta = spark.createDataFrame(
+        [(1, "A"), (2, "b"), (5, "e")], ["k", "v"]
+    )
+    out = {tuple(r) for r in scd2_apply(target, delta, ["k"], ["v"], 2).collect()}
+    assert out == {
+        (1, "a", 0, 2, False),    # closed at batch 2
+        (1, "A", 2, None, True),  # new version
+        (2, "b", 0, None, True),  # idempotent re-send: NOT versioned
+        (3, "c", 0, None, True),
+        (4, "old", 0, 1, False),
+        (4, "new", 1, None, True),
+        (5, "e", 2, None, True),  # brand-new key
+    }
+
+
+def test_scd2_null_attr_transitions_are_versioned(spark):
+    from data_engineering_challenge_spark.operators.merge import scd2_apply
+
+    target = _scd2_target(spark, [(1, None, 0, None, True), (2, "b", 0, None, True)])
+    delta = spark.createDataFrame([(1, "x"), (2, None)], ["k", "v"])
+    out = {tuple(r) for r in scd2_apply(target, delta, ["k"], ["v"], 1).collect()}
+    # null -> value and value -> null are both real changes (null-safe compare)
+    assert out == {
+        (1, None, 0, 1, False),
+        (1, "x", 1, None, True),
+        (2, "b", 0, 1, False),
+        (2, None, 1, None, True),
+    }
+
+
+def test_scd2_exact_output_cardinality(spark):
+    from data_engineering_challenge_spark.operators.merge import scd2_apply
+
+    target = _scd2_target(spark, [(i, "v", 0, None, True) for i in range(100)])
+    delta = spark.createDataFrame(
+        [(i, "u") for i in range(50, 100)] + [(i, "v") for i in range(50)]
+        + [(i, "n") for i in range(100, 120)],
+        ["k", "v"],
+    )
+    out = scd2_apply(target, delta, ["k"], ["v"], 1)
+    # |target| + |changed| + |new| = 100 + 50 + 20
+    assert out.count() == 170
+    assert out.filter("is_current").count() == 120
+
+
+# ---------------------------------------------------------------------------
+# snapshot_diff semantics
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_classification(spark):
+    from data_engineering_challenge_spark.operators.merge import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        ["k", "s", "n"],
+    )
+    new = spark.createDataFrame(
+        [(1, "a", 10), (2, "B", 20), (4, None, 41), (5, "e", 50)],
+        ["k", "s", "n"],
+    )
+    out = {tuple(r) for r in snapshot_diff(old, new, ["k"], ["s", "n"]).collect()}
+    assert out == {
+        (1, "unchanged", False, False),
+        (2, "changed", True, False),
+        (3, "removed", False, False),
+        (4, "changed", False, True),   # null attr compares null-safe
+        (5, "added", False, False),
+    }

@@ -222,6 +222,7 @@ _BNLJ_BY_DESIGN = {
     "truncated_ann_recall",   # broadcast query batch x corpus scan (ann_topk twin)
     "int8_quantization_audit",  # 1-row per-dim min/scale bounds frame
     "source_token_drift",     # broadcast top-100 / 1-row N frames x |sources| rollup
+    "bigram_lm_score",        # 1-row context-vocabulary (V) frame
 }
 
 
