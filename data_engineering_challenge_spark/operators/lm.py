@@ -98,9 +98,11 @@ def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "bigram_lm_score",
-    oracle=f"""
+# DuckDB replay of train-from-scratch + score + rollup — shared by
+# the inline query and the frozen-model twin (the model is a pure
+# function of the train split, so a from-scratch retrain IS the
+# stored model — the quality-probe oracle protocol).
+_LM_ROLLUP_SQL = f"""
         WITH docs AS (
             SELECT doc_id, source, {_SPLIT_CASE_SQL} AS split,
                    {_gram_sql(2)} AS g2
@@ -142,7 +144,12 @@ def _bigram_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) FILTER (WHERE doc_bits * 100 > {LM_FLAG_CENTIBITS} * n_bigrams)
                    ::BIGINT AS n_flagged
         FROM docbits GROUP BY source, split ORDER BY source, split
-    """,
+    """
+
+
+@register(
+    "bigram_lm_score",
+    oracle=_LM_ROLLUP_SQL,
     doc="Statistical-LM corpus filter (the CCNet/KenLM stage): add-one "
     "bigram surprisal quantized to INTEGER BITS (floor-log2 via binary "
     "digit counts — no libm, so doc scores are exact BIGINT sums, "
@@ -200,6 +207,292 @@ def bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .cast("bigint")
             .alias("n_flagged"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frozen-model lifecycle: the trained LM as a versioned snapshot.
+#
+# At 100 TB the counts tables (vocabulary-sized, never corpus-sized)
+# ARE the model: they are published once as a versioned snapshot
+# (`sinks/versioned.py`, the build_pq_index / build_quality_model
+# protocol) and every scoring pass — batch or streaming — joins the
+# FROZEN tables instead of re-counting the corpus. The model is a
+# pure function of the train split, so the oracle replays a
+# from-scratch retrain and must hash-match the stored-model path.
+# ---------------------------------------------------------------------------
+
+LM_MODELV = 1  # bump when featurization/smoothing changes
+
+
+def lm_model_dir(sf_dir: str) -> str:
+    from ..sinks.versioned import fingerprint_dir
+
+    return fingerprint_dir(sf_dir, "documents", prefix=f"lmbigram{LM_MODELV}_")
+
+
+def build_lm_model(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    """Count the train split's bigram stream and publish (kind, key,
+    cnt) rows — kind 'g' = bigram counts keyed by gh, 'p' = context
+    counts keyed by ph, 'v' = the 1-row context vocabulary size — as a
+    versioned snapshot. Returns the version."""
+    from ..sinks.versioned import write_snapshot
+
+    train = (
+        _bigram_stream(spark, sf_dir)
+        .filter(F.col("split") == "train")
+        .select("gh", "ph")
+    )
+    c12 = train.groupBy("gh").agg(F.count(F.lit(1)).cast("bigint").alias("cnt")).select(
+        F.lit("g").alias("kind"), F.col("gh").alias("key"), "cnt"
+    )
+    c1 = train.groupBy("ph").agg(F.count(F.lit(1)).cast("bigint").alias("cnt")).select(
+        F.lit("p").alias("kind"), F.col("ph").alias("key"), "cnt"
+    )
+    v = train.agg(F.countDistinct("ph").cast("bigint").alias("cnt")).select(
+        F.lit("v").alias("kind"), F.lit(0).cast("bigint").alias("key"), "cnt"
+    )
+    return write_snapshot(c12.unionByName(c1).unionByName(v), table_dir)
+
+
+def load_lm_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame, int]:
+    """Latest stored model (trained+published on first use): (c12 frame
+    keyed gh, c1 frame keyed ph, vctx scalar)."""
+    import os as _os
+
+    from ..sinks.versioned import read_snapshot
+
+    table_dir = lm_model_dir(sf_dir)
+    if not _os.path.exists(_os.path.join(table_dir, "manifest.json")):
+        build_lm_model(spark, sf_dir, table_dir)
+    snap = read_snapshot(spark, table_dir)
+    c12 = snap.filter(F.col("kind") == "g").select(
+        F.col("key").alias("gh"), F.col("cnt").alias("c12")
+    )
+    c1 = snap.filter(F.col("kind") == "p").select(
+        F.col("key").alias("ph"), F.col("cnt").alias("c1")
+    )
+    vrow = snap.filter(F.col("kind") == "v").collect()  # 1 row — bounded
+    vctx = int(vrow[0]["cnt"]) if vrow else 0
+    return c12, c1, vctx
+
+
+def lm_doc_scores(
+    docs: DataFrame, c12: DataFrame, c1: DataFrame, vctx: int
+) -> DataFrame:
+    """Per-doc integer-bits surprisal of `docs` (doc_id, source, text)
+    against the FROZEN counts tables: (doc_id, source, split,
+    n_bigrams, doc_bits, flagged). Shared by the stored-model batch
+    query and the streaming scorer — stateless apart from the two
+    frozen-table joins, so per-trigger streaming output is exactly the
+    batch scoring of that trigger's docs."""
+    toks = tokens(F.col("text"))
+    stream = (
+        docs.select(
+            "doc_id", "source", _split_col().alias("split"), toks.alias("toks")
+        )
+        .filter(F.size("toks") >= 2)
+        .select(
+            "doc_id",
+            "source",
+            "split",
+            F.explode(word_ngrams(F.col("toks"), 2)).alias("g"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            "split",
+            _gh60(F.col("g")).alias("gh"),
+            _gh60(F.split(F.col("g"), " ").getItem(0)).alias("ph"),
+        )
+    )
+    # No broadcast hint: the counts tables are vocabulary-sized —
+    # small at test SF (AQE broadcasts them on its own) but a 100 TB
+    # corpus's bigram vocabulary can exceed the broadcast budget, and
+    # then the right plan is a hash join on the 60-bit key.
+    scored = (
+        stream.join(c12, "gh", "left")
+        .join(c1, "ph", "left")
+        .select(
+            "doc_id",
+            "source",
+            "split",
+            F.length(F.bin(F.coalesce(F.col("c12"), F.lit(0)) + 1))
+            .cast("bigint")
+            .alias("lo_bits"),
+            F.length(F.bin(F.coalesce(F.col("c1"), F.lit(0)) + F.lit(vctx)))
+            .cast("bigint")
+            .alias("hi_bits"),
+        )
+    )
+    return scored.groupBy("doc_id", "source", "split").agg(
+        F.sum(F.col("hi_bits") - F.col("lo_bits")).cast("bigint").alias("doc_bits"),
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+    ).withColumn(
+        "flagged",
+        F.col("doc_bits") * 100 > F.lit(LM_FLAG_CENTIBITS) * F.col("n_bigrams"),
+    )
+
+
+@register(
+    "bigram_lm_frozen_score",
+    oracle=_LM_ROLLUP_SQL,
+    doc="The stored-model path of the LM filter: counts tables "
+    "published once as a versioned snapshot (build_lm_model — the "
+    "build_pq_index protocol), corpus scored by joining the FROZEN "
+    "tables; the model is a pure function of the train split, so the "
+    "oracle's from-scratch retrain must hash-match the stored-model "
+    "scoring — which is the integrity check on the snapshot itself. "
+    "This is the production shape at 100 TB: train once, score every "
+    "ingest batch without re-counting the corpus.",
+    tags=("text", "lm", "quality", "incremental", "extension"),
+)
+def bigram_lm_frozen_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bigram_lm_score's rollup, computed from the stored snapshot."""
+    c12, c1, vctx = load_lm_model(spark, sf_dir)
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    docbits = lm_doc_scores(d.select("doc_id", "source", "text"), c12, c1, vctx)
+    return (
+        docbits.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+            F.sum("doc_bits").cast("bigint").alias("total_bits"),
+            (
+                F.sum("doc_bits").cast("double")
+                / F.sum("n_bigrams").cast("double")
+            ).alias("avg_bits"),
+            F.count(F.when(F.col("flagged"), 1)).cast("bigint").alias("n_flagged"),
+        )
+        .orderBy("source", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Incremental training: bigram counts are ADDITIVE sufficient
+# statistics (like the quality probe's X^T X moments), so the frozen
+# corpus is a stored counts table and a delta batch folds in by exact
+# BIGINT addition — bit-identical to a full retrain, which is exactly
+# what the oracle replays. vctx is NOT stored: it is the number of
+# distinct context rows, derived from the folded c1 table, so the
+# fold never needs to merge a distinct-count scalar.
+# ---------------------------------------------------------------------------
+
+
+def lm_counts_dir(sf_dir: str) -> str:
+    from ..sinks.versioned import fingerprint_dir
+
+    return fingerprint_dir(sf_dir, "documents", prefix=f"lmcounts{LM_MODELV}_")
+
+
+def _train_counts(stream: DataFrame) -> DataFrame:
+    """(kind, key, cnt) count rows of a bigram stream's train slice."""
+    train = stream.filter(F.col("split") == "train").select("gh", "ph")
+    c12 = train.groupBy("gh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).select(F.lit("g").alias("kind"), F.col("gh").alias("key"), "cnt")
+    c1 = train.groupBy("ph").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    ).select(F.lit("p").alias("kind"), F.col("ph").alias("key"), "cnt")
+    return c12.unionByName(c1)
+
+
+def build_lm_corpus_counts(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    """Count the CORPUS slice's (incremental bucket < INCR_DELTA_FROM)
+    train bigrams and publish (kind, key, cnt, is_delta=false) as v1."""
+    from ..sinks.versioned import write_snapshot
+    from .dedup import INCR_DELTA_FROM, _incr_bucket
+
+    stream = _bigram_stream(spark, sf_dir).filter(
+        _incr_bucket(F.col("doc_id")) < INCR_DELTA_FROM
+    )
+    return write_snapshot(
+        _train_counts(stream).withColumn("is_delta", F.lit(False)), table_dir
+    )
+
+
+def extend_lm_counts(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    """Fold the delta batch's train counts into snapshot v+1.
+    Idempotent: delta-tagged rows are replaced, never double-counted
+    (the extend_span_index protocol). Returns the new version."""
+    from ..sinks.versioned import read_snapshot, write_snapshot
+    from .dedup import INCR_DELTA_FROM, _incr_bucket
+
+    prev = read_snapshot(spark, table_dir).filter(~F.col("is_delta"))
+    stream = _bigram_stream(spark, sf_dir).filter(
+        _incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM
+    )
+    fresh = _train_counts(stream).withColumn("is_delta", F.lit(True))
+    return write_snapshot(prev.unionByName(fresh), table_dir)
+
+
+def _folded_model(counts: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Sum tagged count rows into (c12, c1) frames."""
+    summed = counts.groupBy("kind", "key").agg(
+        F.sum("cnt").cast("bigint").alias("cnt")
+    )
+    c12 = summed.filter(F.col("kind") == "g").select(
+        F.col("key").alias("gh"), F.col("cnt").alias("c12")
+    )
+    c1 = summed.filter(F.col("kind") == "p").select(
+        F.col("key").alias("ph"), F.col("cnt").alias("c1")
+    )
+    return c12, c1
+
+
+@register(
+    "incremental_lm_score",
+    oracle=_LM_ROLLUP_SQL,
+    doc="Incremental LM training: the frozen corpus-slice counts "
+    "snapshot (build_lm_corpus_counts) plus the delta batch's fresh "
+    "counts, summed by exact BIGINT addition — bit-identical to a "
+    "full retrain (counts are additive sufficient statistics; the "
+    "context vocabulary is derived from the folded table, never a "
+    "merged scalar), which is exactly what the oracle replays. At "
+    "100 TB the nightly cost is the delta tokenization plus a "
+    "vocabulary-sized index scan — the corpus is never re-counted. "
+    "The fold itself (extend_lm_counts, idempotent is_delta "
+    "replacement) is driven by the pipeline 'lm' incremental kind.",
+    tags=("text", "lm", "quality", "incremental", "extension"),
+)
+def incremental_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bigram_lm_score's rollup, computed from frozen corpus counts +
+    fresh delta counts (the refreshed model, pre-fold)."""
+    import os as _os
+
+    from ..sinks.versioned import read_snapshot
+    from .dedup import INCR_DELTA_FROM, _incr_bucket
+
+    table_dir = lm_counts_dir(sf_dir)
+    if not _os.path.exists(_os.path.join(table_dir, "manifest.json")):
+        build_lm_corpus_counts(spark, sf_dir, table_dir)
+    corpus_counts = read_snapshot(spark, table_dir).filter(~F.col("is_delta")).select(
+        "kind", "key", "cnt"
+    )
+    delta_stream = _bigram_stream(spark, sf_dir).filter(
+        _incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM
+    )
+    fresh = _train_counts(delta_stream)
+    c12, c1 = _folded_model(corpus_counts.unionByName(fresh))
+    from ..registry import track_persist
+
+    c1 = track_persist(c1)
+    vctx = c1.count()  # one bounded scalar — the derived context vocabulary
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    docbits = lm_doc_scores(d.select("doc_id", "source", "text"), c12, c1, vctx)
+    return (
+        docbits.groupBy("source", "split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_bigrams").cast("bigint").alias("total_bigrams"),
+            F.sum("doc_bits").cast("bigint").alias("total_bits"),
+            (
+                F.sum("doc_bits").cast("double")
+                / F.sum("n_bigrams").cast("double")
+            ).alias("avg_bits"),
+            F.count(F.when(F.col("flagged"), 1)).cast("bigint").alias("n_flagged"),
         )
         .orderBy("source", "split")
     )

@@ -198,10 +198,7 @@ _SCD2_VSUM = (
 )
 
 
-@register(
-    "scd2_customer_history",
-    oracle=f"""
-        WITH t0 AS (
+_SCD2_T2_CTES = """t0 AS (
             SELECT c_custkey, c_nationkey, c_mktsegment,
                    CAST(c_acctbal AS DECIMAL(18,2)) AS acctbal,
                    0 AS valid_from, CAST(NULL AS INT) AS valid_to,
@@ -274,27 +271,13 @@ _SCD2_VSUM = (
             SELECT c_custkey, c_nationkey, c_mktsegment, acctbal,
                    2, NULL, TRUE
             FROM d2 WHERE c_custkey NOT IN (SELECT c_custkey FROM cur1)
-        )
-        SELECT c_mktsegment,
-               COUNT(*)::BIGINT AS n_versions,
-               COUNT(*) FILTER (WHERE is_current)::BIGINT AS n_current,
-               COUNT(*) FILTER (WHERE NOT is_current)::BIGINT AS n_closed,
-               CAST(SUM(acctbal) FILTER (WHERE is_current) AS DOUBLE)
-                   AS current_acctbal,
-               {_SCD2_VSUM} AS version_sum
-        FROM t2 GROUP BY c_mktsegment ORDER BY c_mktsegment
-    """,
-    doc="SCD Type-2 dimension maintenance exercised end-to-end: two "
-    "deterministic delta batches against the customer dim (an attribute "
-    "change, an idempotent re-send that must NOT version, a re-keyed "
-    "insert, then a second change chaining versions), verified by a "
-    "per-segment rollup whose version_sum pins every (key, valid_from, "
-    "valid_to, is_current) tuple order-independently.",
-    tags=("merge", "scd2", "extension"),
-)
-def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(c_mktsegment, n_versions, n_current, n_closed, current_acctbal,
-    version_sum) after two SCD2 delta batches over customer."""
+        )"""
+
+
+def _customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-batch SCD2 history over customer (Spark twin of
+    ``_SCD2_T2_CTES``): columns c_custkey, c_nationkey, c_mktsegment,
+    acctbal, valid_from, valid_to, is_current."""
     keys, attrs = ["c_custkey"], ["c_nationkey", "c_mktsegment", "acctbal"]
     t0 = load_table(spark, sf_dir, "customer").select(
         "c_custkey",
@@ -333,7 +316,34 @@ def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    t2 = scd2_apply(t1, d2, keys, attrs, batch_id=2)
+    return scd2_apply(t1, d2, keys, attrs, batch_id=2)
+
+
+@register(
+    "scd2_customer_history",
+    oracle=f"""
+        WITH {_SCD2_T2_CTES}
+        SELECT c_mktsegment,
+               COUNT(*)::BIGINT AS n_versions,
+               COUNT(*) FILTER (WHERE is_current)::BIGINT AS n_current,
+               COUNT(*) FILTER (WHERE NOT is_current)::BIGINT AS n_closed,
+               CAST(SUM(acctbal) FILTER (WHERE is_current) AS DOUBLE)
+                   AS current_acctbal,
+               {_SCD2_VSUM} AS version_sum
+        FROM t2 GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    doc="SCD Type-2 dimension maintenance exercised end-to-end: two "
+    "deterministic delta batches against the customer dim (an attribute "
+    "change, an idempotent re-send that must NOT version, a re-keyed "
+    "insert, then a second change chaining versions), verified by a "
+    "per-segment rollup whose version_sum pins every (key, valid_from, "
+    "valid_to, is_current) tuple order-independently.",
+    tags=("merge", "scd2", "extension"),
+)
+def scd2_customer_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_mktsegment, n_versions, n_current, n_closed, current_acctbal,
+    version_sum) after two SCD2 delta batches over customer."""
+    t2 = _customer_history(spark, sf_dir)
     version_sum = (
         F.conv(
             F.substring(
@@ -523,4 +533,58 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum(key_sum) % F.lit(1099511627776)).cast("bigint").alias("key_sum"),
         )
         .orderBy("change_kind")
+    )
+
+
+@register(
+    "orders_scd2_asof",
+    oracle=f"""
+        WITH {_SCD2_T2_CTES},
+        o AS (
+            SELECT o_custkey, o_orderkey % 3 AS asof_batch,
+                   CAST(o_totalprice AS DECIMAL(18,2)) AS price
+            FROM orders
+        )
+        SELECT h.c_mktsegment AS segment_asof,
+               COUNT(*)::BIGINT AS n_orders,
+               CAST(SUM(o.price) AS DOUBLE) AS revenue
+        FROM o JOIN t2 h
+          ON o.o_custkey = h.c_custkey
+         AND h.valid_from <= o.asof_batch
+         AND (h.valid_to IS NULL OR h.valid_to > o.asof_batch)
+        GROUP BY h.c_mktsegment ORDER BY segment_asof
+    """,
+    doc="The SCD2 payoff query — point-in-time dimension join: each "
+    "order is attributed to the customer attributes that were current "
+    "AT ITS AS-OF BATCH (deterministically o_orderkey % 3), via an "
+    "equi-join on the key plus the [valid_from, valid_to) interval "
+    "filter. A %10==3 customer's orders split across the old and the "
+    "rotated segment depending on as-of time — the thing a "
+    "current-only dimension gets wrong. Scale: the history dim stays "
+    "dimension-sized (broadcast), the interval test is a post-join "
+    "filter, never a range shuffle.",
+    tags=("merge", "scd2", "join", "extension"),
+)
+def orders_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(segment_asof, n_orders, revenue): orders attributed to the
+    customer segment current at each order's as-of batch."""
+    h = _customer_history(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        (F.col("o_orderkey") % 3).alias("asof_batch"),
+        F.col("o_totalprice").cast(DEC).alias("price"),
+    )
+    j = o.join(
+        F.broadcast(h),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("valid_from") <= F.col("asof_batch"))
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > F.col("asof_batch"))),
+    )
+    return (
+        j.groupBy(F.col("c_mktsegment").alias("segment_asof"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+        .orderBy("segment_asof")
     )

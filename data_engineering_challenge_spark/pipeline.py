@@ -156,6 +156,21 @@ def _run_incremental(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]
             # delta moments — bit-identical to a full retrain)
             probe = incremental_quality_weights(spark, sf_dir)
             fold = lambda: extend_quality_moments(spark, sf_dir, table_dir)  # noqa: E731
+        elif kind == "lm":
+            from .operators.lm import (
+                build_lm_corpus_counts,
+                extend_lm_counts,
+                incremental_lm_score,
+                lm_counts_dir,
+            )
+
+            table_dir = lm_counts_dir(sf_dir)
+            if not os.path.exists(os.path.join(table_dir, "manifest.json")):
+                build_lm_corpus_counts(spark, sf_dir, table_dir)
+            # probe = the refreshed LM rollup (frozen corpus counts +
+            # fresh delta counts — bit-identical to a full retrain)
+            probe = incremental_lm_score(spark, sf_dir)
+            fold = lambda: extend_lm_counts(spark, sf_dir, table_dir)  # noqa: E731
         else:
             raise ValueError(f"unknown incremental index kind: {kind}")
         out_path = os.path.join(cfg["probe_out"], kind)

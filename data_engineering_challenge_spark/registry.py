@@ -62,8 +62,11 @@ def register(
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 9 (no driver row ever) --------------------------
     "scd2_customer_history",
+    "orders_scd2_asof",
     "orders_snapshot_diff",
     "bigram_lm_score",
+    "bigram_lm_frozen_score",
+    "incremental_lm_score",
     "shard_balance_audit",
     "event_transition_matrix",
     "kmeans_embeddings",

@@ -651,3 +651,71 @@ def quality_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(_stream_dir_for(f"{sf_dir}/documents.parquet", schema.simpleString()))
     )
     return quality_score_transform(raw, w)
+
+
+def run_lm_score_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    checkpoint: str,
+    raw: DataFrame | None = None,
+) -> None:
+    """Streaming twin of the frozen-LM corpus filter
+    (`operators/lm.py:bigram_lm_frozen_score`): arriving docs are
+    scored per trigger against the STORED counts snapshot (built and
+    published on first use) and land as a queryable per-doc score
+    table at `out_path` — (doc_id, source, split, doc_bits, n_bigrams,
+    flagged). Per-doc scoring needs an aggregation over the bigram
+    stream, so this runs under foreachBatch (per-trigger batch
+    semantics) with the same idempotent doc_id upsert + rename-aside
+    atomic publish as the landing-zone span pipelines: per-trigger
+    output ≡ batch `lm_doc_scores` of that trigger's docs, and a
+    replayed batch after restart rewrites the same rows."""
+    import shutil as _shutil
+
+    from ..operators.lm import lm_doc_scores, load_lm_model
+    from ..operators.merge import merge_upsert
+
+    apply_runtime_confs(spark)
+    c12, c1, vctx = load_lm_model(spark, sf_dir)
+    if raw is None:
+        schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+        raw = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(
+                _stream_dir_for(f"{sf_dir}/documents.parquet", schema.simpleString())
+            )
+        )
+
+    def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark_b = batch_df.sparkSession
+        old_path = out_path + ".old"
+        # Crash recovery: a publish that renamed the live table aside
+        # but died before promoting leaves only `.old` — restore it.
+        if not os.path.isdir(out_path) and os.path.isdir(old_path):
+            os.replace(old_path, out_path)
+        out = lm_doc_scores(
+            batch_df.select("doc_id", "source", "text"), c12, c1, vctx
+        )
+        if os.path.isdir(out_path):
+            current = spark_b.read.parquet(out_path)
+            merged = merge_upsert(current, out, ["doc_id"])
+        else:
+            merged = out
+        tmp = out_path + ".tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        _shutil.rmtree(old_path, ignore_errors=True)
+        if os.path.isdir(out_path):
+            os.replace(out_path, old_path)
+        os.replace(tmp, out_path)
+        _shutil.rmtree(old_path, ignore_errors=True)
+
+    q = (
+        raw.writeStream.outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch(score_batch)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

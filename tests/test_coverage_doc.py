@@ -52,6 +52,9 @@ def test_documented_query_names_exist():
         "build_pq_index", "bpe_apply_merges", "check_bpe_bigsf",
         "extend_pq_index", "vacuum_snapshots",
         "build_span_index", "extend_span_index", "hll_union_agg",
+        "build_lm_model", "lm_doc_scores", "run_lm_score_stream",
+        "build_lm_corpus_counts", "extend_lm_counts",
+        "scd2_apply", "snapshot_diff",
         "sql_runner", "check_oracle", "run_sql_cli", "oracle_sql",
         "data_engineering_challenge_spark",
     }

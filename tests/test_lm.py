@@ -36,16 +36,24 @@ def _ids_for(split: str, count: int, start: int = 0) -> list[int]:
 
 
 def _docs(spark, rows, path):
-    df = spark.createDataFrame(rows, ["doc_id", "text", "source"]).selectExpr(
-        "CAST(doc_id AS BIGINT) doc_id",
-        "text",
-        "'en' AS lang",
-        "source",
-        "CAST(length(text) AS BIGINT) n_chars",
+    # single-FILE parquet (pandas), not a Spark directory: the stream
+    # source helper symlinks the file into its drop dir, matching the
+    # driver testdata's shape (see _stream_dir_for).
+    import pandas as pd
+
+    df = pd.DataFrame(
+        [
+            {
+                "doc_id": int(doc_id),
+                "text": text,
+                "lang": "en",
+                "source": source,
+                "n_chars": len(text),
+            }
+            for doc_id, text, source in rows
+        ]
     )
-    df.coalesce(1).write.mode("overwrite").parquet(
-        os.path.join(path, "documents.parquet")
-    )
+    df.to_parquet(os.path.join(path, "documents.parquet"), index=False)
     return path
 
 
@@ -120,3 +128,97 @@ def test_bits_helper_is_floor_log2(spark):
 
     for r in df.collect():
         assert r["b"] == math.floor(math.log2(r["id"]))
+
+
+def test_frozen_score_matches_inline_retrain(spark, lm_dir, tmp_path, monkeypatch):
+    """The stored snapshot is a pure function of the train split: the
+    frozen-model rollup must equal the inline train-from-scratch one."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_lm"))
+    inline = sorted(tuple(r) for r in lm.bigram_lm_score(spark, lm_dir).collect())
+    frozen = sorted(tuple(r) for r in lm.bigram_lm_frozen_score(spark, lm_dir).collect())
+    assert frozen == inline
+    # second call reuses the published snapshot (no retrain) — identical
+    frozen2 = sorted(tuple(r) for r in lm.bigram_lm_frozen_score(spark, lm_dir).collect())
+    assert frozen2 == frozen
+
+
+def test_lm_score_stream_matches_batch_and_restarts(spark, lm_dir, tmp_path, monkeypatch):
+    from data_engineering_challenge_spark.streaming.pipelines import run_lm_score_stream
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_lms"))
+    out = str(tmp_path / "lm_scores")
+    ckpt = str(tmp_path / "ckpt_lm")
+    run_lm_score_stream(spark, lm_dir, out, ckpt)
+    got = {
+        r["doc_id"]: (r["doc_bits"], r["n_bigrams"], r["flagged"])
+        for r in spark.read.parquet(out).collect()
+    }
+    c12, c1, vctx = lm.load_lm_model(spark, lm_dir)
+    docs = spark.read.parquet(os.path.join(lm_dir, "documents.parquet"))
+    batch = {
+        r["doc_id"]: (r["doc_bits"], r["n_bigrams"], r["flagged"])
+        for r in lm.lm_doc_scores(
+            docs.select("doc_id", "source", "text"), c12, c1, vctx
+        ).collect()
+    }
+    assert got == batch
+    assert any(f for _, _, f in got.values())  # the gibberish doc is flagged
+    # restart with no new data: landing table byte-stable
+    run_lm_score_stream(spark, lm_dir, out, ckpt)
+    got2 = {
+        r["doc_id"]: (r["doc_bits"], r["n_bigrams"], r["flagged"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got2 == got
+
+
+def test_incremental_lm_equals_full_retrain(spark, lm_dir, tmp_path, monkeypatch):
+    """Frozen corpus counts + fresh delta counts must reproduce the
+    full-retrain rollup exactly (counts are additive sufficient
+    statistics; vctx derives from the folded c1 table)."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_ilm"))
+    full = sorted(tuple(r) for r in lm.bigram_lm_score(spark, lm_dir).collect())
+    incr = sorted(tuple(r) for r in lm.incremental_lm_score(spark, lm_dir).collect())
+    assert incr == full
+
+
+def test_lm_fold_is_idempotent_and_matches_frozen_path(
+    spark, lm_dir, tmp_path, monkeypatch
+):
+    """extend_lm_counts twice == once (is_delta replacement), and the
+    FOLDED snapshot scores identically to the pre-fold refreshed model."""
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_DIR", str(tmp_path / "idx_fold"))
+    from data_engineering_challenge_spark.sinks.versioned import read_snapshot
+
+    table_dir = lm.lm_counts_dir(lm_dir)
+    lm.build_lm_corpus_counts(spark, lm_dir, table_dir)
+    v2 = lm.extend_lm_counts(spark, lm_dir, table_dir)
+    v3 = lm.extend_lm_counts(spark, lm_dir, table_dir)
+    assert (v2, v3) == (2, 3)
+    s2 = sorted(
+        tuple(r) for r in read_snapshot(spark, table_dir, version=2).collect()
+    )
+    s3 = sorted(
+        tuple(r) for r in read_snapshot(spark, table_dir, version=3).collect()
+    )
+    assert s2 == s3  # night-two replay replaces, never double-counts
+    # folded counts == full-train counts: score with them and compare
+    c12, c1 = lm._folded_model(
+        read_snapshot(spark, table_dir).select("kind", "key", "cnt")
+    )
+    vctx = c1.count()
+    docs = spark.read.parquet(os.path.join(lm_dir, "documents.parquet"))
+    folded = {
+        r["doc_id"]: (r["doc_bits"], r["n_bigrams"])
+        for r in lm.lm_doc_scores(
+            docs.select("doc_id", "source", "text"), c12, c1, vctx
+        ).collect()
+    }
+    cf12, cf1, cfv = lm.load_lm_model(spark, lm_dir)
+    fullm = {
+        r["doc_id"]: (r["doc_bits"], r["n_bigrams"])
+        for r in lm.lm_doc_scores(
+            docs.select("doc_id", "source", "text"), cf12, cf1, cfv
+        ).collect()
+    }
+    assert folded == fullm

@@ -154,3 +154,44 @@ def test_snapshot_diff_classification(spark):
         (4, "changed", False, True),   # null attr compares null-safe
         (5, "added", False, False),
     }
+
+
+def test_scd2_asof_attributes_point_in_time(spark, tmp_path_factory):
+    """A customer whose segment rotates at batch 2 must have its
+    orders split by as-of batch: batches 0/1 see the old segment,
+    batch 2 the new one."""
+    import os
+
+    from data_engineering_challenge_spark.operators.merge import orders_scd2_asof
+
+    path = str(tmp_path_factory.mktemp("scd2asof"))
+    # c_custkey=3 -> %10==3: identical re-send at batch 1 (no version),
+    # segment rotated to 'SEG3' at batch 2.
+    spark.createDataFrame(
+        [(3, 11, 100.0, "OLD")],
+        ["c_custkey", "c_nationkey", "c_acctbal", "c_mktsegment"],
+    ).selectExpr(
+        "CAST(c_custkey AS BIGINT) c_custkey",
+        "'c' c_name",
+        "CAST(c_nationkey AS INT) c_nationkey",
+        "CAST(c_acctbal AS DOUBLE) c_acctbal",
+        "c_mktsegment",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "customer.parquet"))
+    # orders with as-of batches 0, 1, 2 (o_orderkey % 3)
+    spark.createDataFrame(
+        [(3, 3), (4, 3), (5, 3)], ["o_orderkey", "o_custkey"]
+    ).selectExpr(
+        "CAST(o_orderkey AS BIGINT) o_orderkey",
+        "CAST(o_custkey AS BIGINT) o_custkey",
+        "'O' o_orderstatus",
+        "CAST(10.0 AS DOUBLE) o_totalprice",
+        "CAST('2024-01-01' AS TIMESTAMP) o_orderdate",
+        "'1-URGENT' o_orderpriority",
+    ).coalesce(1).write.mode("overwrite").parquet(os.path.join(path, "orders.parquet"))
+
+    out = {r["segment_asof"]: r for r in orders_scd2_asof(spark, path).collect()}
+    # orderkeys 3 (asof 0) and 4 (asof 1) -> OLD; orderkey 5 (asof 2) -> SEG3
+    assert out["OLD"]["n_orders"] == 2
+    assert out["SEG3"]["n_orders"] == 1
+    assert out["OLD"]["revenue"] == 20.0
+    assert out["SEG3"]["revenue"] == 10.0
