@@ -146,42 +146,54 @@ def scd2_apply(
     cur = target.filter(F.col("is_current"))
     hist = target.filter(~F.col("is_current"))
     out_cols = [*keys, *attrs, "valid_from", "valid_to", "is_current"]
+    attr_diff = ~reduce(
+        operator.and_,
+        [F.col(f"t.{a}").eqNullSafe(F.col(f"s.{a}")) for a in attrs],
+    )
 
-    changed_keys = (
+    # Current side: ONE left join against the delta; a changed row is
+    # closed in-place by projection (no semi/anti split — keeps the
+    # plan at one join and one union branch per side, which matters
+    # when batches chain: the two-batch script's plan went from ~20
+    # joins / 10 union branches to 4 joins / 6 branches).
+    changed = F.coalesce(F.col("s._d"), F.lit(False)) & attr_diff
+    cur_out = (
         cur.alias("t")
-        .join(delta.alias("s"), keys)
-        .filter(
-            ~reduce(
-                operator.and_,
-                [F.col(f"t.{a}").eqNullSafe(F.col(f"s.{a}")) for a in attrs],
-            )
+        .join(delta.withColumn("_d", F.lit(True)).alias("s"), keys, "left")
+        .select(
+            *keys,
+            *[F.col(f"t.{a}").alias(a) for a in attrs],
+            F.col("t.valid_from").alias("valid_from"),
+            F.when(changed, F.lit(batch_id).cast("int"))
+            .otherwise(F.col("t.valid_to"))
+            .alias("valid_to"),
+            (~changed).alias("is_current"),
         )
-        .select(*keys)  # using-join merges the key columns
     )
-    closed = (
-        cur.join(changed_keys, keys, "left_semi")
-        .withColumn("valid_to", F.lit(batch_id).cast("int"))
-        .withColumn("is_current", F.lit(False))
-    )
-    untouched_cur = cur.join(changed_keys, keys, "left_anti")
-    new_versions = (
-        delta.join(changed_keys, keys, "left_semi")
-        .withColumn("valid_from", F.lit(batch_id).cast("int"))
-        .withColumn("valid_to", F.lit(None).cast("int"))
-        .withColumn("is_current", F.lit(True))
-    )
-    inserts = (
-        delta.join(cur.select(*keys), keys, "left_anti")
-        .withColumn("valid_from", F.lit(batch_id).cast("int"))
-        .withColumn("valid_to", F.lit(None).cast("int"))
-        .withColumn("is_current", F.lit(True))
+    # Delta side: one left join against the current keys; keep only
+    # rows that version (changed) or insert (new key) — an identical
+    # re-send matches with no attr diff and is dropped.
+    matched = F.coalesce(F.col("t._t"), F.lit(False))
+    delta_out = (
+        delta.alias("s")
+        .join(
+            cur.select(*keys, *attrs).withColumn("_t", F.lit(True)).alias("t"),
+            keys,
+            "left",
+        )
+        .filter((matched & attr_diff) | ~matched)
+        .select(
+            *keys,
+            *[F.col(f"s.{a}").alias(a) for a in attrs],
+            F.lit(batch_id).cast("int").alias("valid_from"),
+            F.lit(None).cast("int").alias("valid_to"),
+            F.lit(True).alias("is_current"),
+        )
     )
     return (
         hist.select(*out_cols)
-        .unionByName(untouched_cur.select(*out_cols))
-        .unionByName(closed.select(*out_cols))
-        .unionByName(new_versions.select(*out_cols))
-        .unionByName(inserts.select(*out_cols))
+        .unionByName(cur_out.select(*out_cols))
+        .unionByName(delta_out.select(*out_cols))
     )
 
 
