@@ -3,6 +3,8 @@ insert-only-in-source, untouched-only-in-target, row-count exactness."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Row
 
 from data_engineering_challenge_spark.operators.merge import merge_upsert
@@ -195,3 +197,52 @@ def test_scd2_asof_attributes_point_in_time(spark, tmp_path_factory):
     assert out["SEG3"]["n_orders"] == 1
     assert out["OLD"]["revenue"] == 20.0
     assert out["SEG3"]["revenue"] == 10.0
+
+
+def test_scd2_stream_applies_nightly_feed_and_replays_clean(
+    spark, tmp_path
+):
+    """Streaming SCD2 maintenance: night 1 seeds the history, night 2
+    versions a changed row / no-ops an identical re-send / inserts a
+    new key; a checkpointed restart with no new files is byte-stable
+    (scd2_apply's idempotent-re-send rule makes replays no-op)."""
+    import pandas as pd
+
+    from data_engineering_challenge_spark.streaming.pipelines import (
+        _stream_dir_for,
+        run_scd2_stream,
+    )
+
+    feed = str(tmp_path / "dim_feed.parquet")
+    pd.DataFrame(
+        [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}]
+    ).to_parquet(feed, index=False)
+    out = str(tmp_path / "dim_history")
+    ckpt = str(tmp_path / "ckpt_scd2")
+
+    run_scd2_stream(spark, feed, out, ckpt, keys=["k"], attrs=["v"])
+    h1 = {tuple(r) for r in spark.read.parquet(out).collect()}
+    # batch 1 against empty history: both rows insert as current
+    assert h1 == {(1, "a", 1, None, True), (2, "b", 1, None, True)}
+
+    # night 2 lands: k=1 changes, k=2 identical re-send, k=3 new
+    schema = spark.read.parquet(feed).schema
+    sdir = _stream_dir_for(feed, schema.simpleString())
+    night2 = os.path.join(sdir, "night2.parquet")
+    pd.DataFrame(
+        [{"k": 1, "v": "A"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"}]
+    ).to_parquet(night2, index=False)
+    try:
+        run_scd2_stream(spark, feed, out, ckpt, keys=["k"], attrs=["v"])
+        h2 = {tuple(r) for r in spark.read.parquet(out).collect()}
+        assert h2 == {
+            (1, "a", 1, 2, False),   # closed at batch 2
+            (1, "A", 2, None, True),
+            (2, "b", 1, None, True),  # identical re-send: NOT versioned
+            (3, "c", 2, None, True),
+        }
+        # restart with no new files: byte-stable history
+        run_scd2_stream(spark, feed, out, ckpt, keys=["k"], attrs=["v"])
+        assert {tuple(r) for r in spark.read.parquet(out).collect()} == h2
+    finally:
+        os.remove(night2)
