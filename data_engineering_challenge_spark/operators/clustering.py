@@ -73,6 +73,8 @@ def _assign_expr(centroids: list[tuple[int, list[int]]]) -> str:
             "0L, (acc, x) -> acc + x)"
         )
         structs.append(f"struct({dist} AS dist, CAST({cid} AS BIGINT) AS cell_id)")
+    if len(structs) == 1:  # least() needs >1 args; K=1 is a degenerate fit
+        return structs[0]
     return f"least({', '.join(structs)})"
 
 
@@ -111,9 +113,10 @@ def kmeans_fit(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, list[tuple[
     return q, centroids
 
 
-def _oracle_sql() -> str:
+def _km_ctes() -> str:
     """Unrolled-CTE replay of quantize -> (assign -> update) x ITERS ->
-    final assignment stats (the fixed-point pagerank protocol)."""
+    final assignment (the fixed-point pagerank protocol); shared by
+    the rollup and purity oracles."""
     parts = [
         f"""q AS (
             SELECT vec_id,
@@ -170,7 +173,15 @@ def _oracle_sql() -> str:
                        ) AS rn
                 FROM q v, c{KM_ITERS} c
             ) WHERE rn = 1
-        )
+        )"""
+    )
+
+
+def _oracle_sql() -> str:
+    """kmeans_embeddings oracle: the CTE chain + per-cell rollup."""
+    return (
+        _km_ctes()
+        + f"""
         SELECT f.cell_id,
                COUNT(*)::BIGINT AS n_vectors,
                CAST(SUM(f.dist) AS BIGINT) AS inertia,
@@ -225,3 +236,89 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("centroid_sig", sig_expr.cast("bigint"))
         .orderBy("cell_id")
     )
+
+
+def _purity_sql() -> str:
+    """kmeans_label_purity oracle: final assignment joined to the
+    planted labels; majority label per cell via (count desc, label
+    asc) ordering, purity as one final division of exact counts."""
+    return (
+        _km_ctes()
+        + """,
+        lab AS (
+            SELECT f.cell_id, e.label
+            FROM final f JOIN embeddings e ON f.vec_id = e.vec_id
+        ),
+        cnts AS (
+            SELECT cell_id, label, COUNT(*)::BIGINT AS cnt
+            FROM lab GROUP BY cell_id, label
+        ),
+        tot AS (
+            SELECT cell_id, SUM(cnt)::BIGINT AS n_vectors FROM cnts
+            GROUP BY cell_id
+        ),
+        maj AS (
+            SELECT cell_id, label AS majority_label, cnt AS majority_cnt
+            FROM (
+                SELECT cell_id, label, cnt,
+                       row_number() OVER (
+                           PARTITION BY cell_id ORDER BY cnt DESC, label
+                       ) AS rn
+                FROM cnts
+            ) WHERE rn = 1
+        )
+        SELECT t.cell_id, t.n_vectors,
+               CAST(m.majority_label AS INT) AS majority_label,
+               CAST(m.majority_cnt AS DOUBLE) / CAST(t.n_vectors AS DOUBLE)
+                   AS purity
+        FROM tot t JOIN maj m ON t.cell_id = m.cell_id
+        ORDER BY t.cell_id
+    """
+    )
+
+
+@register(
+    "kmeans_label_purity",
+    oracle=_purity_sql(),
+    doc="Cluster-quality gate for the fixed-point k-means (the "
+    "ivf_cell_purity pattern applied to Lloyd cells): per cell, the "
+    "majority planted label (ties to lowest label) and its share of "
+    "the cell's vectors — exact counts, one final division. The "
+    "go/no-go audit before using k-means cells to route dedup or "
+    "balance mixtures (SemDeDup/DCLM practice). Same bit-exact "
+    "generations as kmeans_embeddings; the only extra work is one "
+    "vec_id join to the labels and a cells-x-labels-sized rollup.",
+    tags=("embeddings", "clustering", "quality", "extension"),
+)
+def kmeans_label_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell_id, n_vectors, majority_label, purity) of the final
+    k-means assignment against the planted labels."""
+    q, centroids = kmeans_fit(spark, sf_dir)
+    if not centroids:
+        return spark.createDataFrame(
+            [],
+            "cell_id bigint, n_vectors bigint, majority_label int, purity double",
+        )
+    assign = q.select(
+        "vec_id", F.expr(_assign_expr(centroids)).alias("pick")
+    ).select("vec_id", F.col("pick.cell_id").alias("cell_id"))
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    cnts = (
+        assign.join(lab, "vec_id")
+        .groupBy("cell_id", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    per_cell = cnts.groupBy("cell_id").agg(
+        F.sum("cnt").cast("bigint").alias("n_vectors"),
+        # majority: highest count, ties to lowest label — max of
+        # (cnt, -label) recovers both without a window shuffle
+        F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m"),
+    )
+    return per_cell.select(
+        "cell_id",
+        "n_vectors",
+        (-F.col("m.neg")).cast("int").alias("majority_label"),
+        (F.col("m.cnt").cast("double") / F.col("n_vectors").cast("double")).alias(
+            "purity"
+        ),
+    ).orderBy("cell_id")

@@ -70,6 +70,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "shard_balance_audit",
     "event_transition_matrix",
     "kmeans_embeddings",
+    "kmeans_label_purity",
     "span_rewrite",
     "span_rewrite_residual",
     "quality_probe_weights",

@@ -97,3 +97,34 @@ def test_quantization_is_floor_of_scaled_double(spark, tmp_path_factory):
     q = km._quantized(spark, path).collect()[0]["q"]
     s = km.KM_SCALE
     assert list(q) == [-3 * s // 2, s // 2, -s // 4, s]
+
+
+def test_label_purity_on_separated_clusters(spark, tmp_path_factory, monkeypatch):
+    """Two separated planted clusters with consistent labels -> both
+    cells pure (1.0) with the planted majority labels."""
+    monkeypatch.setattr(km, "KM_K", 2)
+    monkeypatch.setattr(km, "KM_ITERS", 2)
+    monkeypatch.setattr(km, "KM_DIM", 4)
+    rows = [
+        (0, [1.0] * 4, 7), (2, [1.25] * 4, 7), (4, [1.5] * 4, 7),
+        (1, [100.0] * 4, 3), (3, [100.0] * 4, 3), (5, [100.0] * 4, 3),
+    ]
+    path = _embeddings(spark, rows, str(tmp_path_factory.mktemp("kmp")), 4)
+    out = {r["cell_id"]: r for r in km.kmeans_label_purity(spark, path).collect()}
+    assert out[0]["majority_label"] == 7 and out[0]["purity"] == 1.0
+    assert out[1]["majority_label"] == 3 and out[1]["purity"] == 1.0
+    assert out[0]["n_vectors"] == 3 and out[1]["n_vectors"] == 3
+
+
+def test_label_purity_majority_ties_to_lowest_label(spark, tmp_path_factory, monkeypatch):
+    """2-2 label split in one cell: the majority tie goes to the
+    LOWEST label (both engines order by count desc, label asc)."""
+    monkeypatch.setattr(km, "KM_K", 1)
+    monkeypatch.setattr(km, "KM_ITERS", 1)
+    monkeypatch.setattr(km, "KM_DIM", 4)
+    rows = [(i, [5.0] * 4, 9 - (i % 2) * 4) for i in range(4)]  # labels 9,5,9,5
+    path = _embeddings(spark, rows, str(tmp_path_factory.mktemp("kmt")), 4)
+    out = km.kmeans_label_purity(spark, path).collect()
+    assert len(out) == 1
+    assert out[0]["majority_label"] == 5  # tie -> lowest label
+    assert out[0]["purity"] == 0.5
