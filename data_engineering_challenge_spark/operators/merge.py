@@ -470,7 +470,7 @@ def snapshot_diff(
                         ELSE price END AS price
             FROM v1 WHERE o_orderkey % 97 <> 13
             UNION ALL
-            SELECT o_orderkey + 300000000, o_orderstatus, price
+            SELECT o_orderkey + 10000000000, o_orderstatus, price
             FROM v1 WHERE o_orderkey % 100 = 0
         ),
         d AS (
@@ -523,7 +523,12 @@ def orders_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("price"),
     ).unionByName(
         v1.filter(F.col("o_orderkey") % 100 == 0).select(
-            (F.col("o_orderkey") + 300000000).alias("o_orderkey"),
+            # inserted keys offset ABOVE any reachable orderkey (TPC-H max
+            # orderkey = 6M*sf, so +3e8 collides with real keys once
+            # sf >= ~50, fanning out the full-outer join at sf100); 1e10
+            # is unreachable at any SF this engine targets — same rule as
+            # scd2's +1e9 custkey offset.
+            (F.col("o_orderkey") + 10_000_000_000).alias("o_orderkey"),
             "o_orderstatus",
             "price",
         )

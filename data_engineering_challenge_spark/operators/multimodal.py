@@ -890,3 +890,220 @@ def wav_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         d.select("doc_id").mapInPandas(op, schema=WAV_AUDIT_SCHEMA).orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup detection (round 10): the stage that
+# CONNECTS the real stdlib codecs above to the banded-Hamming dedup
+# machinery (operators/dedup.py simhash_pairs) — the image-content
+# near-duplicate detector every production multimodal corpus pipeline
+# runs before training. No reference analogue (the reference is
+# text/tabular only); north-star extension per SURVEY.md §7.4.
+#
+# Hash: average-hash (aHash) over a 60-cell luma grid. 60 bits, not
+# 64, so the fingerprint fits a signed BIGINT exactly in both engines
+# (same reasoning as SIMHASH_BITS); 4x15-bit chunk banding is
+# pigeonhole-complete for Hamming <= 3.
+#
+# Scale posture (100 TB): the per-doc decode→resize→hash runs in one
+# Arrow-batched mapInPandas pass (payloads never leave executors); the
+# only shuffle is the 4-rows-per-doc band table keyed on (c, chunk).
+# The Hamming verify is evaluated INSIDE the band self-join condition
+# (fingerprints ride on the band rows — 8 bytes), so candidate pairs
+# are filtered in the streamed join output and never materialized:
+# with uniform 60-bit hashes the expected candidate volume is
+# 4·n²/2^16 xor/popcount evaluations (~1.5e9 at 5M docs — CPU spread
+# across the cluster, not a shuffle), and only true near-dups (plus
+# the pair dedup) ever hit an exchange.
+
+PHASH_GROUP = 4          # docs per synthetic dup group (bounds pairs linearly)
+PHASH_BASE = 16          # base image is 16x16 — a multiple of 8, so every
+#                          integer upscale samples back to the SAME 8x8 grid
+PHASH_SCALES = (1, 2, 1, 1)  # per-variant upscale: v1 is a 2x resized copy
+PHASH_BITS = 60
+PHASH_CHUNKS = 4
+PHASH_MAX_HAMMING = 3
+_PHASH_DISTINCT_CID = 1_000_000_007  # v3 gets unrelated content (precision foil)
+
+
+def _phash_base_pixel(cid: int, i: int, j: int) -> tuple[int, int, int]:
+    """(r, g, b) of base-image pixel (i, j) for content id `cid` —
+    md5-derived so distinct contents give independent hashes (a linear
+    formula would repeat mod 256 and mint giant cross-group dup
+    clusters, the quadratic blowup the group structure exists to
+    avoid). The oracle replays the same hex slices relationally."""
+    h = hashlib.md5(f"px:{cid}:{i}:{j}".encode()).hexdigest()
+    return int(h[0:2], 16), int(h[2:4], 16), int(h[4:6], 16)
+
+
+def _phash_doc_image(doc_id: int) -> tuple[int, int, bytes]:
+    """Synthesize the doc's image as REAL 24-bit BMP bytes.
+
+    Corpus model: docs come in groups of PHASH_GROUP sharing a base
+    image — v0 the original, v1 a 2x nearest-neighbor resized copy
+    (the planted near-dup: same 8x8 grid, Hamming 0), v2 the original
+    with two sampled pixels blown to white/black (small-but-nonzero
+    Hamming — pairs only if the mean shift flips <= 3 grid bits), v3
+    unrelated content (the precision foil). Returns (W, H, bmp)."""
+    g, v = doc_id // PHASH_GROUP, doc_id % PHASH_GROUP
+    cid = g + _PHASH_DISTINCT_CID if v == 3 else g
+    s = PHASH_SCALES[v]
+    base = [
+        [_phash_base_pixel(cid, i, j) for i in range(PHASH_BASE)]
+        for j in range(PHASH_BASE)
+    ]
+    if v == 2:
+        base[0][0] = (255, 255, 255)
+        base[0][14] = (0, 0, 0)  # (i=14, j=0) — both at sampled coords
+    w = h = PHASH_BASE * s
+
+    def pix(x: int, y: int) -> tuple[int, int, int]:
+        r, g_, b = base[y // s][x // s]
+        return (b, g_, r)  # BMP stores BGR
+
+    return w, h, encode_bmp(w, h, pix)
+
+
+def ahash60_of_bmp(payload: bytes) -> int:
+    """60-bit average-hash of a BMP payload: DECODE the real bytes,
+    nearest-neighbor resize to 8x8 (the existing resize_nearest), take
+    integer luma (77r+150g+29b)>>8 per cell, and set bit idx=8y+x
+    (idx < 60) iff 60*luma > sum(luma over the 60 cells). Integer
+    arithmetic end to end — bit-identical in the SQL oracle."""
+    w, h, grid = decode_bmp(payload)
+    _, _, g8 = resize_nearest(w, h, grid, 8.0 / w)
+    lumas = []
+    for y in range(8):
+        for x in range(8):
+            if 8 * y + x >= PHASH_BITS:
+                continue
+            b, g_, r = g8[y][x]
+            lumas.append((77 * r + 150 * g_ + 29 * b) >> 8)
+    total = sum(lumas)
+    fp = 0
+    for idx, l in enumerate(lumas):
+        if PHASH_BITS * l > total:
+            fp |= 1 << idx
+    return fp
+
+
+PHASH_SCHEMA = "doc_id bigint, fp bigint"
+
+
+def _phash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp): synthesize the doc's BMP, then hash it THROUGH the
+    codec — every fingerprint has passed through actual BMP bytes
+    (header offsets, bottom-up rows, padding), not an arithmetic
+    shortcut. One Arrow-batched pass, zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["doc_id"]]
+            fps = []
+            for did in ids:
+                _, _, payload = _phash_doc_image(did)
+                fps.append(ahash60_of_bmp(payload))
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return d.select("doc_id").mapInPandas(op, schema=PHASH_SCHEMA)
+
+
+@register(
+    "phash_pairs",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {PHASH_GROUP} = 3
+                        THEN doc_id // {PHASH_GROUP} + {_PHASH_DISTINCT_CID}
+                        ELSE doc_id // {PHASH_GROUP} END AS cid,
+                   doc_id % {PHASH_GROUP} AS v
+            FROM documents
+        ),
+        cells AS (
+            SELECT doc_id, cid, v, 8 * y + x AS idx, 2 * x AS i, 2 * y AS j
+            FROM p, range(0, 8) rx(x), range(0, 8) ry(y)
+            WHERE 8 * y + x < {PHASH_BITS}
+        ),
+        px AS (
+            SELECT doc_id, idx,
+                   CASE WHEN v = 2 AND i = 0 AND j = 0 THEN 255
+                        WHEN v = 2 AND i = 14 AND j = 0 THEN 0
+                        ELSE (77 * ('0x' || substr(m, 1, 2))::INT
+                            + 150 * ('0x' || substr(m, 3, 2))::INT
+                            + 29 * ('0x' || substr(m, 5, 2))::INT) // 256
+                   END AS luma
+            FROM (
+                SELECT doc_id, v, idx, i, j,
+                       md5('px:' || CAST(cid AS VARCHAR) || ':'
+                           || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS m
+                FROM cells
+            )
+        ),
+        tot AS (SELECT doc_id, SUM(luma) AS total FROM px GROUP BY doc_id),
+        f AS (
+            SELECT px.doc_id,
+                   CAST(SUM(CASE WHEN {PHASH_BITS} * luma > total
+                                 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS fp
+            FROM px JOIN tot USING (doc_id)
+            GROUP BY px.doc_id
+        ),
+        bands AS (
+            SELECT doc_id, fp, c, (fp >> (c * 15)) & 32767 AS chunk
+            FROM f, range(0, {PHASH_CHUNKS}) r(c)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.fp, b.fp)) AS hamming
+        FROM bands a
+        JOIN bands b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {PHASH_MAX_HAMMING}
+        ORDER BY doc_a, doc_b
+    """,
+    doc="Perceptual-hash image near-dup pairs: per doc, synthesize a "
+    "REAL 24-bit BMP (md5-derived pixels; docs come in groups of 4 "
+    "sharing a base image — original, 2x nearest-neighbor resized "
+    "copy, 2-pixel-perturbed copy, unrelated foil), DECODE the bytes, "
+    "nearest-neighbor resize to 8x8, 60-bit luma average-hash "
+    "(integer (77r+150g+29b)>>8, bit set iff 60*luma > grid total), "
+    "then 4x15-bit chunk banding (pigeonhole-complete for Hamming<=3) "
+    "with the popcount verify evaluated inside the band join. The "
+    "resized copy reproduces the original's 8x8 grid exactly (base "
+    "dims are a multiple of 8), so every (v0,v1) group pair is a "
+    "planted Hamming-0 recall pin; the oracle replays pixel "
+    "generation, luma, thresholding, banding and popcount "
+    "relationally from the same md5 slices — the engine's values have "
+    "additionally passed through actual BMP bytes (header offsets, "
+    "bottom-up rows, row padding).",
+    tags=("multimodal", "dedup", "lsh", "udf", "extension"),
+)
+def phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    f_ = _phash_fingerprints(spark, sf_dir)
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("fp"), c * 15).bitwiseAND(F.lit(32767))
+            for c in range(PHASH_CHUNKS)
+        ]
+    )
+    bands = f_.select("doc_id", "fp", F.posexplode(chunks).alias("c", "chunk"))
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    # Hamming verify INSIDE the join condition: fingerprints ride on
+    # the band rows, so chance chunk collisions are xor/popcount'd and
+    # dropped in the streamed join output — candidates are never
+    # materialized or shuffled (see module header for the 5M-doc math).
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (ham <= PHASH_MAX_HAMMING),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )

@@ -51,71 +51,24 @@ def register(
 
 # A correctness harness that samples a prefix of the registry (the
 # driver checks the first ~50) must see the queries with the least
-# accumulated evidence first. Rotated each round; round 9 fronts the
-# 5 new round-9 operators (no driver row ever), then the 34 queries
-# whose newest driver row is r6 and which the r8 prefix did NOT reach
-# (the r8 sample refreshed the r8-new + r5-era + first-16-of-r6
-# cohorts), then the r7-era block. A ~50-row prefix therefore
-# refreshes everything older than two rounds, keeping the rolling
-# r7+r8+r9 union at full registry coverage on <=2-round-old rows.
-# Pure iteration order - membership and semantics are unchanged.
+# accumulated evidence first. Rotated each round; round 10 fronts
+# phash_pairs (new, no driver row ever), then the sessionize trio
+# (newest rows are r6-era — judge spot-runs only since), then the
+# r7-era block, which neither the r8 nor the r9 prefix reached. A
+# ~50-row prefix therefore refreshes everything whose newest row is
+# older than r8, keeping the rolling r8+r9+r10 union at full registry
+# coverage on <=2-round-old rows (save the r7-block tail if the
+# sample stops exactly at 50). Pure iteration order — membership and
+# semantics are unchanged.
 _DRIVER_PRIORITY: tuple[str, ...] = (
-    # -- new in round 9 (no driver row ever) --------------------------
-    "scd2_customer_history",
-    "orders_scd2_asof",
-    "orders_snapshot_diff",
-    "bigram_lm_score",
-    "bigram_lm_frozen_score",
-    "incremental_lm_score",
-    "shard_balance_audit",
-    "event_transition_matrix",
-    "kmeans_embeddings",
-    "kmeans_label_purity",
-    "span_rewrite",
-    "span_rewrite_residual",
-    "quality_probe_weights",
-    "quality_probe_scores",
-    "quality_probe_eval",
-    "incremental_span_rewrite",
-    "incremental_quality_weights",
-    "dedup_retention_apply",
-    "decontaminate_apply",
-    # -- newest driver row is r6, not reached by the r8 prefix ---------
-    "funnel_conversion",
-    "dedup_clusters",
-    "csv_ingest_check",
-    "orders_merge_upsert",
-    "multimodal_meta",
-    "column_stats_orders",
-    "nation_trade_balance",
-    "acctbal_grouping_sets",
-    "small_parts_revenue",
-    "promo_revenue_share",
-    "idle_customers_balance",
-    "ann_topk",
-    "ann_lsh_topk",
-    "embedding_cosine_pairs",
-    "ann_ivf_topk",
-    "ann_ivf_trained_topk",
-    "semantic_dedup",
-    "ivf_cell_purity",
-    "embedding_norm_audit",
-    "ann_pq_topk",
-    "pq_reconstruction_error",
-    "approx_distinct_check",
-    "forecast_revenue_change",
-    "volume_shipping",
-    "nation_market_share",
-    "product_type_profit",
-    "returned_item_customers",
-    "late_shipment_priority",
-    "top_supplier_by_revenue",
-    "large_volume_customers",
-    "brand_size_disjunction_revenue",
+    # -- new in round 10 (no driver row ever) --------------------------
+    "phash_pairs",
+    # -- newest driver row is r6 (judge spot-runs only since) ----------
+    "session_gap_profile",
     "sessionize_events",
     "sessionize_skew_hybrid",
-    "session_gap_profile",
-    # -- newest driver row is r7 ---------------------------------------
+    "brand_size_disjunction_revenue",
+    # -- newest driver row is r7 (absent from the r8 and r9 prefixes) --
     "incremental_dedup",
     "bpe_learn",
     "bmp_roundtrip_audit",
@@ -166,7 +119,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "customer_order_distribution",
     "orders_status_priority_pivot",
     "order_measures_unpivot",
-    # -- freshest evidence: r8 driver rows (new-in-r8 + r5-era cohort) --
+    # -- r8 driver rows (new-in-r8 + r5-era cohort) ---------------------
     "duplicate_spans",
     "span_dedup_savings",
     "cms_frequency_check",
@@ -201,7 +154,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "events_by_hour_of_day",
     "priority_price_extremes",
     "revenue_daily_deltas",
-    # -- r6-era refreshed by the r8 prefix ------------------------------
     "decontaminate_split",
     "repetition_profile",
     "sample_mixture",
@@ -218,6 +170,56 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "daily_value_anomalies",
     "bigram_merge_candidates",
     "user_retention_cohorts",
+    # -- freshest evidence: r9 driver rows ------------------------------
+    "scd2_customer_history",
+    "orders_scd2_asof",
+    "orders_snapshot_diff",
+    "bigram_lm_score",
+    "bigram_lm_frozen_score",
+    "incremental_lm_score",
+    "shard_balance_audit",
+    "event_transition_matrix",
+    "kmeans_embeddings",
+    "kmeans_label_purity",
+    "span_rewrite",
+    "span_rewrite_residual",
+    "quality_probe_weights",
+    "quality_probe_scores",
+    "quality_probe_eval",
+    "incremental_span_rewrite",
+    "incremental_quality_weights",
+    "dedup_retention_apply",
+    "decontaminate_apply",
+    "funnel_conversion",
+    "dedup_clusters",
+    "csv_ingest_check",
+    "orders_merge_upsert",
+    "multimodal_meta",
+    "column_stats_orders",
+    "nation_trade_balance",
+    "acctbal_grouping_sets",
+    "small_parts_revenue",
+    "promo_revenue_share",
+    "idle_customers_balance",
+    "ann_topk",
+    "ann_lsh_topk",
+    "embedding_cosine_pairs",
+    "ann_ivf_topk",
+    "ann_ivf_trained_topk",
+    "semantic_dedup",
+    "ivf_cell_purity",
+    "embedding_norm_audit",
+    "ann_pq_topk",
+    "pq_reconstruction_error",
+    "approx_distinct_check",
+    "forecast_revenue_change",
+    "volume_shipping",
+    "nation_market_share",
+    "product_type_profit",
+    "returned_item_customers",
+    "late_shipment_priority",
+    "top_supplier_by_revenue",
+    "large_volume_customers",
 )
 
 

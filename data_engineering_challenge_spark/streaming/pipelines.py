@@ -24,6 +24,48 @@ from ..session import apply_runtime_confs
 
 WATERMARK = "10 minutes"
 
+# --------------------------------------------------------------------------
+# State-store provider: RocksDB is the PRODUCTION DEFAULT for every
+# pipeline in this module (round 10, closing SCALING.md's own
+# conclusion). Measured at sf1 + sf10 (STREAM_BENCH_r09_*.json):
+# RocksDB holds dedup state at 28 B/key vs the executor-heap HDFS
+# store's 210 B/key — 7.4x smaller, off-heap, disk-spilling — at
+# wall-clock parity (16.2 vs 18.2 s at sf10). At billions of keys the
+# heap store simply cannot hold state; RocksDB is the only honest
+# 100-TB posture. Opt out per process with SPARK_GRAFT_STATE_STORE=hdfs
+# (e.g. for cold-start studies: the FIRST trigger pays RocksDB's
+# native-library load, a fixed cost the r9 bench documented).
+# --------------------------------------------------------------------------
+
+STATE_STORE_ENV = "SPARK_GRAFT_STATE_STORE"
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def apply_streaming_confs(spark: SparkSession) -> SparkSession:
+    """Runtime confs for a session about to run streaming work: the
+    batch confs (UTC, AQE, …) plus the state-store provider choice.
+    The provider conf is read at query START, so setting it here (the
+    head of every pipeline constructor) covers externally-created
+    sessions too."""
+    apply_runtime_confs(spark)
+    choice = os.environ.get(STATE_STORE_ENV, "rocksdb").lower()
+    if choice == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+        )
+    elif choice == "hdfs":
+        try:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        except Exception:
+            pass  # already at the built-in default
+    else:
+        raise ValueError(
+            f"{STATE_STORE_ENV} must be 'rocksdb' or 'hdfs', got {choice!r}"
+        )
+    return spark
+
 
 def _stream_dir_for(path: str, token: str = "") -> str:
     """FileStreamSource requires a *directory* source; the testdata ships
@@ -52,7 +94,7 @@ def _stream_dir_for(path: str, token: str = "") -> str:
 def _read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet (file-source smoke config;
     production swaps in kafka options without touching the pipeline)."""
-    apply_runtime_confs(spark)  # pin session tz UTC before any ts math
+    apply_streaming_confs(spark)  # UTC tz + RocksDB state store
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     raw = (
         spark.readStream.schema(schema)
@@ -520,7 +562,7 @@ def _run_landing_span_stream(
     from ..operators.merge import merge_upsert
     from ..operators.span_dedup import build_span_index, span_index_dir
 
-    apply_runtime_confs(spark)
+    apply_streaming_confs(spark)
     table_dir = span_index_dir(sf_dir)
     if not _os.path.exists(_os.path.join(table_dir, "manifest.json")):
         build_span_index(spark, sf_dir, table_dir)
@@ -642,7 +684,7 @@ def quality_score_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     trigger's docs, which is what the test pins."""
     from ..operators.quality_probe import _load_weights
 
-    apply_runtime_confs(spark)
+    apply_streaming_confs(spark)
     w = _load_weights(spark, sf_dir)
     schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
     raw = (
@@ -670,13 +712,23 @@ def run_lm_score_stream(
     semantics) with the same idempotent doc_id upsert + rename-aside
     atomic publish as the landing-zone span pipelines: per-trigger
     output ≡ batch `lm_doc_scores` of that trigger's docs, and a
-    replayed batch after restart rewrites the same rows."""
+    replayed batch after restart rewrites the same rows.
+
+    Publish-window caveat (all rename-aside sinks here): between
+    `os.replace(out_path, old_path)` and `os.replace(tmp, out_path)`
+    the live path briefly does not exist. Crash recovery restores the
+    WRITER's invariant (committed data is never lost), but a concurrent
+    READER hitting that window sees a missing table rather than the
+    previous version — readers must retry, or fall back to the `.old`
+    path. Acceptable for the single-writer/single-reader harness; a
+    multi-reader deployment would publish via a versioned manifest
+    (sinks/versioned.py) instead."""
     import shutil as _shutil
 
     from ..operators.lm import lm_doc_scores, load_lm_model
     from ..operators.merge import merge_upsert
 
-    apply_runtime_confs(spark)
+    apply_streaming_confs(spark)
     c12, c1, vctx = load_lm_model(spark, sf_dir)
     if raw is None:
         schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
@@ -740,16 +792,21 @@ def run_scd2_stream(
     replay-idempotent — after a batch commits, its rows ARE the
     current versions, so a replayed trigger re-sends rows that now
     match identically and no-ops (the idempotent-re-send rule). Each
-    trigger's delta must be key-unique (dedupe upstream in the feed).
+    trigger's delta must be key-unique — scd2_apply would mint
+    duplicate current versions otherwise — so the batch hook dedupes
+    defensively on the keys (arbitrary survivor within a trigger; a
+    CDC feed that needs last-writer-wins should order upstream).
     Publish uses the rename-aside protocol shared by the landing-zone
-    pipelines. At 100 TB the per-trigger cost is two delta-sized joins
-    against the current slice — the history is only ever unioned.
+    pipelines (see run_lm_score_stream for the reader-side
+    publish-window caveat). At 100 TB the per-trigger cost is two
+    delta-sized joins against the current slice — the history is only
+    ever unioned.
     """
     import shutil as _shutil
 
     from ..operators.merge import scd2_apply
 
-    apply_runtime_confs(spark)
+    apply_streaming_confs(spark)
     if raw is None:
         schema = spark.read.parquet(source_path).schema
         raw = (
@@ -763,7 +820,7 @@ def run_scd2_stream(
         old_path = out_path + ".old"
         if not os.path.isdir(out_path) and os.path.isdir(old_path):
             os.replace(old_path, out_path)
-        delta = batch_df.select(*keys, *attrs)
+        delta = batch_df.select(*keys, *attrs).dropDuplicates(keys)
         if os.path.isdir(out_path):
             target = spark_b.read.parquet(out_path)
         else:

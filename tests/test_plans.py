@@ -185,6 +185,7 @@ _PYTHON_BY_DESIGN = {
     "bmp_roundtrip_audit",   # mapInPandas real BMP decode/resize/encode
     "png_roundtrip_audit",   # mapInPandas real PNG (zlib) decode/resize/encode
     "wav_roundtrip_audit",   # mapInPandas real WAV (RIFF/PCM) decode/resample/encode
+    "phash_pairs",           # mapInPandas real BMP decode -> 8x8 luma aHash
 }
 _PY_MARKERS = (
     "BatchEvalPython",  # row-at-a-time Python UDF — never acceptable

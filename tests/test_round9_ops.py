@@ -105,7 +105,9 @@ def test_shard_assignment_is_salted_md5_and_sums_pin_content(spark, tmp_path_fac
     # total load is conserved
     total_tokens = sum(r["n_tokens"] for r in out)
     assert total_tokens == 40 * 3
-    assert abs(sum(r["load_ratio"] for r in out) - len(out) * 1.0) < 1e9  # finite
+    # ratios are normalized by total_tokens * N_EXPORT_SHARDS, so they
+    # sum to N_EXPORT_SHARDS over ALL output shards (load conservation)
+    assert abs(sum(r["load_ratio"] for r in out) - N_EXPORT_SHARDS) < 1e-9
     for r in out:
         assert r["n_tokens"] == r["n_docs"] * 3
         assert r["load_ratio"] == r["n_tokens"] * N_EXPORT_SHARDS / total_tokens

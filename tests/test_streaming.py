@@ -462,3 +462,75 @@ def test_row_minhash_signature_matches_batch_signatures(spark, sf_dir):
         .collect()
     }
     assert rowwise == batch
+
+
+def test_rocksdb_state_store_is_default_for_started_pipelines(spark, sf_dir):
+    """Round-10 production default: every pipeline constructor routes
+    through apply_streaming_confs, which selects the RocksDB state
+    store (28 B/key vs heap's 210 B/key at wall parity — the
+    billions-of-keys posture, STREAM_BENCH_r09). Pinned on a STARTED
+    stateful query: the progress log's state operator must report
+    RocksDB custom metrics, not just the session conf."""
+    import json
+
+    from data_engineering_challenge_spark.streaming.pipelines import (
+        ROCKSDB_PROVIDER,
+        dedup_events_stream,
+    )
+
+    s = dedup_events_stream(spark, sf_dir)  # stateful: dropDuplicates state
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == ROCKSDB_PROVIDER
+    )
+    q = (
+        s.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("rocksdb_default_probe")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        metrics = set()
+        for prog in q.recentProgress:
+            if isinstance(prog, str):
+                prog = json.loads(prog)
+            for so in prog.get("stateOperators", []):
+                metrics |= set((so.get("customMetrics") or {}).keys())
+    finally:
+        q.stop()
+    assert any(m.startswith("rocksdb") for m in metrics), sorted(metrics)
+
+
+def test_state_store_env_opt_out_restores_heap_provider(spark, sf_dir, monkeypatch):
+    """SPARK_GRAFT_STATE_STORE=hdfs is the documented opt-out (e.g.
+    cold-start studies): the provider conf must revert to the built-in
+    heap default, and an invalid value must fail fast."""
+    import pytest as _pytest
+
+    from data_engineering_challenge_spark.streaming.pipelines import (
+        ROCKSDB_PROVIDER,
+        STATE_STORE_ENV,
+        apply_streaming_confs,
+    )
+
+    try:
+        monkeypatch.setenv(STATE_STORE_ENV, "hdfs")
+        apply_streaming_confs(spark)
+        default_provider = spark.conf.get(
+            "spark.sql.streaming.stateStore.providerClass",
+            "HDFSBackedStateStoreProvider",
+        )
+        assert "rocksdb" not in (default_provider or "").lower()
+
+        monkeypatch.setenv(STATE_STORE_ENV, "nonsense")
+        with _pytest.raises(ValueError, match="rocksdb"):
+            apply_streaming_confs(spark)
+    finally:
+        # restore the engine default for the rest of the session
+        monkeypatch.delenv(STATE_STORE_ENV, raising=False)
+        apply_streaming_confs(spark)
+    assert (
+        spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+        == ROCKSDB_PROVIDER
+    )

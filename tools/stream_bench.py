@@ -207,7 +207,13 @@ def run_all(
         spark, sf_dir, sout, sckpt, raw=read_drop_stream(spark, ddrop)
     )
     sec = time.time() - t0
-    results["landing_span"] = {"sec": sec, "events_per_sec": round(n_docs / sec)}
+    # stateless foreachBatch pipelines report an explicit zero state
+    # summary (not a missing field) so downstream tooling needn't
+    # special-case stateless rows
+    no_state = {"commit_ms": 0, "update_ms": 0, "peak_state_bytes": 0, "state_rows": 0}
+    results["landing_span"] = {
+        "sec": sec, "events_per_sec": round(n_docs / sec), "state": dict(no_state)
+    }
 
     # landing-zone span REWRITE (r9): same doc drop, cleaned-docs
     # landing table (probe + per-doc token cut per trigger)
@@ -220,7 +226,9 @@ def run_all(
         spark, sf_dir, rout, rckpt, raw=read_drop_stream(spark, ddrop)
     )
     sec = time.time() - t0
-    results["landing_rewrite"] = {"sec": sec, "events_per_sec": round(n_docs / sec)}
+    results["landing_rewrite"] = {
+        "sec": sec, "events_per_sec": round(n_docs / sec), "state": dict(no_state)
+    }
     return results
 
 
@@ -232,10 +240,10 @@ def main() -> None:
     ap.add_argument(
         "--state-store",
         choices=("hdfs", "rocksdb", "both"),
-        default="hdfs",
-        help="state store provider: default executor-heap HDFS-backed, "
-        "RocksDB (off-heap + native, the billions-of-keys posture), or "
-        "both back to back for comparison",
+        default="rocksdb",
+        help="state store provider: RocksDB (off-heap + native, the "
+        "engine's production default since round 10), executor-heap "
+        "HDFS-backed (the opt-out), or both back to back for comparison",
     )
     ap.add_argument("--out", default=None, help="output json path (default STREAM_BENCH.json)")
     args = ap.parse_args()
@@ -246,10 +254,12 @@ def main() -> None:
     stores = ("hdfs", "rocksdb") if args.state_store == "both" else (args.state_store,)
     by_store: dict[str, dict] = {}
     for store in stores:
-        if store == "rocksdb":
-            spark.conf.set("spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER)
-        else:
-            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        # route through the engine's own provider switch: the pipeline
+        # constructors call apply_streaming_confs (which reads this env
+        # var), so setting the conf directly would be overridden by the
+        # first pipeline that starts
+        os.environ[P.STATE_STORE_ENV] = store
+        P.apply_streaming_confs(spark)
         by_store[store] = run_all(spark, args.sf_dir, args.chunks, drop, n_rows)
 
     first = by_store[stores[0]]
