@@ -103,6 +103,11 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_REPS=1 restores single-pass (cold-start mode).
     reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
     timings: dict[str, float] = {}
+    # per-query [min, max] across passes: the NOISE FLOOR. SCALING.md
+    # documents 2-6x same-code swings on sub-5s queries; publishing the
+    # spread next to the min lets a reader see which round-over-round
+    # deltas are sub-floor (round-9 verdict "What's wrong #1").
+    spread: dict[str, list[float]] = {}
     for rep in range(max(reps, 1)):
         # Warm the Python worker pool (untimed): spinning up one Arrow
         # worker per core costs ~1.8 s on local[32], and with
@@ -163,9 +168,13 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 4)
             print(f"[bench] rep {rep} {name} {dt}s", file=sys.stderr, flush=True)
             timings[name] = min(timings.get(name, dt), dt)
+            lo, hi = spread.get(name, (dt, dt))
+            spread[name] = [min(lo, dt), max(hi, dt)]
             assert n >= 0
     if not only or "csv_ingest_bench" in only:
-        timings["csv_ingest_bench"] = _csv_ingest_sec(spark, sf_dir)
+        t = _csv_ingest_sec(spark, sf_dir)
+        timings["csv_ingest_bench"] = t
+        spread["csv_ingest_bench"] = [t, t]
     total = round(sum(timings.values()), 4)
     # The driver captures only the tail of stdout (~2000 bytes); the full
     # 73-query map overflowed it in round 1 (BENCH_r01 parsed: null). The
@@ -177,7 +186,7 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(
             {"metric": "suite_total_sec", "value": total, "unit": "sec",
-             "queries": timings, "sf": sf_val, "sink": sink},
+             "queries": timings, "spread": spread, "sf": sf_val, "sink": sink},
             fh,
             indent=2,
         )

@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 import os
 from collections.abc import Iterator
+from functools import lru_cache
 
 import pandas as pd
 
@@ -936,6 +937,17 @@ def _phash_base_pixel(cid: int, i: int, j: int) -> tuple[int, int, int]:
     return int(h[0:2], 16), int(h[2:4], 16), int(h[4:6], 16)
 
 
+@lru_cache(maxsize=4096)
+def _phash_base_grid(cid: int) -> tuple:
+    """Memoized base-image grid (grid[j][i] = (r,g,b)): the 3-4 docs of
+    a group share 256 md5-derived pixels, and partition-ordered doc_ids
+    make the per-worker hit rate ~3/4 of base-grid computations."""
+    return tuple(
+        tuple(_phash_base_pixel(cid, i, j) for i in range(PHASH_BASE))
+        for j in range(PHASH_BASE)
+    )
+
+
 def _phash_doc_image(doc_id: int) -> tuple[int, int, bytes]:
     """Synthesize the doc's image as REAL 24-bit BMP bytes.
 
@@ -948,10 +960,7 @@ def _phash_doc_image(doc_id: int) -> tuple[int, int, bytes]:
     g, v = doc_id // PHASH_GROUP, doc_id % PHASH_GROUP
     cid = g + _PHASH_DISTINCT_CID if v == 3 else g
     s = PHASH_SCALES[v]
-    base = [
-        [_phash_base_pixel(cid, i, j) for i in range(PHASH_BASE)]
-        for j in range(PHASH_BASE)
-    ]
+    base = [list(row) for row in _phash_base_grid(cid)]
     if v == 2:
         base[0][0] = (255, 255, 255)
         base[0][14] = (0, 0, 0)  # (i=14, j=0) — both at sampled coords
@@ -994,8 +1003,12 @@ def _phash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fp): synthesize the doc's BMP, then hash it THROUGH the
     codec — every fingerprint has passed through actual BMP bytes
     (header offsets, bottom-up rows, padding), not an arithmetic
-    shortcut. One Arrow-batched pass, zero shuffle."""
-    d = load_table(spark, sf_dir, "documents")
+    shortcut. One Arrow-batched pass, zero shuffle (spread_scan only
+    redistributes the single-file scan at test SFs — a multi-file
+    100-TB layout is already parallel)."""
+    from ..catalog import spread_scan
+
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
