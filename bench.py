@@ -139,13 +139,21 @@ def main() -> None:
         only = {
             q for q in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if q
         }
-        unknown = only - set(registry.all_queries()) - {"csv_ingest_bench"}
+        # SPARK_GRAFT_BENCH_SKIP=q1,q2 excludes queries — for big-SF
+        # full-suite runs where a query is DESIGNED to fail fast there
+        # (e.g. ngram_jaccard_pairs' candidate-volume gate rejects
+        # sf>=10 full corpora). Skips are recorded in the output JSON —
+        # never a silent cap.
+        skip = {
+            q for q in os.environ.get("SPARK_GRAFT_BENCH_SKIP", "").split(",") if q
+        }
+        unknown = (only | skip) - set(registry.all_queries()) - {"csv_ingest_bench"}
         if unknown:
             # fail fast: a typo'd name would silently shrink the probe
             # and report a misleading suite total
             raise SystemExit(f"SPARK_GRAFT_BENCH_ONLY unknown queries: {sorted(unknown)}")
         for name, spec in registry.all_queries().items():
-            if only and name not in only:
+            if (only and name not in only) or name in skip:
                 continue
             # each query is timed self-contained: persisted intermediates
             # from earlier queries (tracked in the registry's persist
@@ -171,7 +179,7 @@ def main() -> None:
             lo, hi = spread.get(name, (dt, dt))
             spread[name] = [min(lo, dt), max(hi, dt)]
             assert n >= 0
-    if not only or "csv_ingest_bench" in only:
+    if (not only or "csv_ingest_bench" in only) and "csv_ingest_bench" not in skip:
         t = _csv_ingest_sec(spark, sf_dir)
         timings["csv_ingest_bench"] = t
         spread["csv_ingest_bench"] = [t, t]
@@ -186,7 +194,8 @@ def main() -> None:
     with open(full_path, "w") as fh:
         json.dump(
             {"metric": "suite_total_sec", "value": total, "unit": "sec",
-             "queries": timings, "spread": spread, "sf": sf_val, "sink": sink},
+             "queries": timings, "spread": spread, "sf": sf_val, "sink": sink,
+             "skipped": sorted(skip)},
             fh,
             indent=2,
         )
