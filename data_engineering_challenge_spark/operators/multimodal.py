@@ -1120,3 +1120,252 @@ def phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Frozen phash index + incremental probe (round 10): the image family
+# gets the same nightly lifecycle every other dedup family has
+# (build -> probe delta against frozen index -> fold -> stream twin).
+# The index is a versioned snapshot (sinks/versioned.py) holding ONE
+# 16-byte row per corpus image: (doc_id, fp) — at 100 TB the corpus
+# side of the nightly image dedup is a fingerprint-table scan, never
+# an image decode; only the delta pays the synth/decode/hash pipeline.
+
+
+def phash_index_dir(sf_dir: str) -> str:
+    from ..sinks.versioned import fingerprint_dir
+
+    return fingerprint_dir(sf_dir, "documents", prefix="phash1_")
+
+
+def build_phash_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    """Fingerprint the corpus slice (incremental buckets <
+    INCR_DELTA_FROM) and publish (doc_id, fp) as a versioned snapshot."""
+    from ..operators.dedup import INCR_DELTA_FROM, _incr_bucket
+    from ..sinks.versioned import write_snapshot
+
+    fps = _phash_fingerprints(spark, sf_dir).filter(
+        _incr_bucket(F.col("doc_id")) < INCR_DELTA_FROM
+    )
+    return write_snapshot(fps, table_dir)
+
+
+def extend_phash_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    """Fold the delta batch's fingerprints into snapshot v+1 —
+    idempotent (corpus-bucket filter on the read side, the
+    extend_minhash_index protocol)."""
+    from ..operators.dedup import INCR_DELTA_FROM, _incr_bucket
+    from ..sinks.versioned import read_snapshot, write_snapshot
+
+    corpus = read_snapshot(spark, table_dir).filter(
+        _incr_bucket(F.col("doc_id")) < INCR_DELTA_FROM
+    )
+    delta = _phash_fingerprints(spark, sf_dir).filter(
+        _incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM
+    )
+    return write_snapshot(corpus.unionByName(delta), table_dir)
+
+
+def _phash_bands(fps: DataFrame) -> DataFrame:
+    """(doc_id, fp, c, chunk) band rows of a fingerprint frame."""
+    chunks = F.array(
+        *[
+            F.shiftright(F.col("fp"), c * 15).bitwiseAND(F.lit(32767))
+            for c in range(PHASH_CHUNKS)
+        ]
+    )
+    return fps.select("doc_id", "fp", F.posexplode(chunks).alias("c", "chunk"))
+
+
+@register(
+    "incremental_phash_pairs",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {PHASH_GROUP} = 3
+                        THEN doc_id // {PHASH_GROUP} + {_PHASH_DISTINCT_CID}
+                        ELSE doc_id // {PHASH_GROUP} END AS cid,
+                   doc_id % {PHASH_GROUP} AS v
+            FROM documents
+        ),
+        cells AS (
+            SELECT doc_id, cid, v, 8 * y + x AS idx, 2 * x AS i, 2 * y AS j
+            FROM p, range(0, 8) rx(x), range(0, 8) ry(y)
+            WHERE 8 * y + x < {PHASH_BITS}
+        ),
+        px AS (
+            SELECT doc_id, idx,
+                   CASE WHEN v = 2 AND i = 0 AND j = 0 THEN 255
+                        WHEN v = 2 AND i = 14 AND j = 0 THEN 0
+                        ELSE (77 * ('0x' || substr(m, 1, 2))::INT
+                            + 150 * ('0x' || substr(m, 3, 2))::INT
+                            + 29 * ('0x' || substr(m, 5, 2))::INT) // 256
+                   END AS luma
+            FROM (
+                SELECT doc_id, v, idx, i, j,
+                       md5('px:' || CAST(cid AS VARCHAR) || ':'
+                           || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS m
+                FROM cells
+            )
+        ),
+        tot AS (SELECT doc_id, SUM(luma) AS total FROM px GROUP BY doc_id),
+        f AS (
+            SELECT px.doc_id,
+                   CAST(SUM(CASE WHEN {PHASH_BITS} * luma > total
+                                 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS fp
+            FROM px JOIN tot USING (doc_id)
+            GROUP BY px.doc_id
+        ),
+        bands AS (
+            SELECT doc_id, fp, c, (fp >> (c * 15)) & 32767 AS chunk
+            FROM f, range(0, {PHASH_CHUNKS}) r(c)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.fp, b.fp)) AS hamming
+        FROM bands a
+        JOIN bands b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {PHASH_MAX_HAMMING}
+          AND (('0x' || substr(md5('inc:' || CAST(a.doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 >= 90
+               OR ('0x' || substr(md5('inc:' || CAST(b.doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 >= 90)
+        ORDER BY doc_a, doc_b
+    """,
+    doc="Incremental image dedup: the NEW batch's images (incremental "
+    "buckets >= 90, the standard salted split) are fingerprinted fresh "
+    "(synth -> BMP decode -> 8x8 luma aHash) and probed against the "
+    "FROZEN phash index of the other 90% — read back as a 16-byte-row "
+    "snapshot scan, never a corpus re-decode. Candidates come from "
+    "joining the delta's band rows against the union of index and "
+    "delta bands with the Hamming verify inside the join condition; "
+    "results are pair-identical to a full-corpus phash_pairs run "
+    "restricted to delta-involved pairs, which is what the oracle "
+    "replays. Nightly cost is O(delta) decode plus a fingerprint scan.",
+    tags=("multimodal", "dedup", "lsh", "incremental", "udf", "extension"),
+)
+def incremental_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import INCR_DELTA_FROM, _incr_bucket
+    from ..registry import track_persist
+    from ..sinks.versioned import read_snapshot
+
+    table_dir = phash_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(table_dir, "manifest.json")):
+        build_phash_index(spark, sf_dir, table_dir)
+    # corpus-bucket filter: a folded snapshot (v2+) also holds delta
+    # fingerprints — unioning them with the freshly computed delta
+    # would duplicate band rows (same guard as incremental_dedup)
+    corpus = read_snapshot(spark, table_dir).filter(
+        _incr_bucket(F.col("doc_id")) < INCR_DELTA_FROM
+    )
+    delta = track_persist(
+        _phash_fingerprints(spark, sf_dir).filter(
+            _incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM
+        )
+    )
+    delta_bands = _phash_bands(delta)
+    union_bands = _phash_bands(corpus).unionByName(delta_bands)
+    a, b = delta_bands.alias("a"), union_bands.alias("b")
+    ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
+    # delta x union join (never a full self-join): every delta-involved
+    # pair shares a chunk with its delta member (pigeonhole), so this
+    # join sees exactly the delta's posting lists
+    return (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") != F.col("b.doc_id"))
+            & (ham <= PHASH_MAX_HAMMING),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def phash_of_payload_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fp) of an arbitrary doc frame via the same synth ->
+    REAL-BMP-decode -> aHash pass — streaming-safe (stateless
+    mapInPandas), shared by the landing filter below."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf[id_col]]
+            fps = []
+            for did in ids:
+                _, _, payload = _phash_doc_image(did)
+                fps.append(ahash60_of_bmp(payload))
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return df.select(id_col).mapInPandas(op, schema=PHASH_SCHEMA)
+
+
+def landing_phash_transform(
+    spark: SparkSession, sf_dir: str, raw: DataFrame
+) -> DataFrame:
+    """Landing-zone image near-dup filter as a transform over an
+    arbitrary documents stream: arriving delta docs are fingerprinted
+    per row (stateless Arrow pass) and probed against the FROZEN phash
+    index via a stream-static band join — 'is this incoming image a
+    near-dup of anything we already hold?'. Stream scope is
+    corpus-delta pairs only (delta-delta pairs within the stream are
+    the batch incremental_phash_pairs' job — the same stream/batch
+    split landing_dedup_transform documents); pinned in tests against
+    the batch query restricted to corpus partners."""
+    from ..operators.dedup import INCR_DELTA_FROM, _incr_bucket
+    from ..registry import track_persist
+    from ..sinks.versioned import read_snapshot
+
+    table_dir = phash_index_dir(sf_dir)
+    if not os.path.exists(os.path.join(table_dir, "manifest.json")):
+        build_phash_index(spark, sf_dir, table_dir)
+    corpus = read_snapshot(spark, table_dir).filter(
+        _incr_bucket(F.col("doc_id")) < INCR_DELTA_FROM
+    )
+    # static side persisted pre-partitioned on the join key so every
+    # micro-batch's probe reuses the cached distribution (the
+    # landing_dedup lesson: without this the per-trigger re-exchange
+    # of the static side caps throughput)
+    corpus_bands = track_persist(
+        _phash_bands(corpus)
+        .withColumnsRenamed({"doc_id": "doc_a", "fp": "fp_a"})
+        .repartition("c", "chunk")
+    )
+    delta = raw.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
+    delta_bands = _phash_bands(phash_of_payload_rows(delta)).withColumnsRenamed(
+        {"doc_id": "doc_b", "fp": "fp_b"}
+    )
+    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
+    return (
+        delta_bands.hint("shuffle_hash")
+        .join(corpus_bands, ["c", "chunk"])
+        .filter(ham <= PHASH_MAX_HAMMING)
+        .select(
+            F.least("doc_a", "doc_b").alias("pa"),
+            F.greatest("doc_a", "doc_b").alias("pb"),
+            ham.alias("hamming"),
+        )
+        .withColumnsRenamed({"pa": "doc_a", "pb": "doc_b"})
+        # a doc's 4 band rows arrive in one micro-batch, so duplicate
+        # hits are same-batch only — state is output-bounded
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
+def incremental_phash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream wiring of the landing-zone image filter (file-drop
+    source; production swaps in kafka options)."""
+    from ..streaming.pipelines import _stream_dir_for, apply_streaming_confs
+
+    apply_streaming_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir_for(f"{sf_dir}/documents.parquet", schema.simpleString()))
+    )
+    return landing_phash_transform(spark, sf_dir, raw)

@@ -171,6 +171,19 @@ def _run_incremental(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]
             # fresh delta counts — bit-identical to a full retrain)
             probe = incremental_lm_score(spark, sf_dir)
             fold = lambda: extend_lm_counts(spark, sf_dir, table_dir)  # noqa: E731
+        elif kind == "phash":
+            from .operators.multimodal import (
+                build_phash_index,
+                extend_phash_index,
+                incremental_phash_pairs,
+                phash_index_dir,
+            )
+
+            table_dir = phash_index_dir(sf_dir)
+            if not os.path.exists(os.path.join(table_dir, "manifest.json")):
+                build_phash_index(spark, sf_dir, table_dir)
+            probe = incremental_phash_pairs(spark, sf_dir)
+            fold = lambda: extend_phash_index(spark, sf_dir, table_dir)  # noqa: E731
         else:
             raise ValueError(f"unknown incremental index kind: {kind}")
         out_path = os.path.join(cfg["probe_out"], kind)

@@ -52,7 +52,7 @@ def register(
 # A correctness harness that samples a prefix of the registry (the
 # driver checks the first ~50) must see the queries with the least
 # accumulated evidence first. Rotated each round; round 10 fronts
-# phash_pairs (new, no driver row ever), then the sessionize trio
+# the two phash queries (new, no driver row ever), then the sessionize trio
 # (newest rows are r6-era — judge spot-runs only since), then the
 # r7-era block, which neither the r8 nor the r9 prefix reached. A
 # ~50-row prefix therefore refreshes everything whose newest row is
@@ -63,6 +63,7 @@ def register(
 _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 10 (no driver row ever) --------------------------
     "phash_pairs",
+    "incremental_phash_pairs",
     # -- newest driver row is r6 (judge spot-runs only since) ----------
     "session_gap_profile",
     "sessionize_events",

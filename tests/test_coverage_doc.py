@@ -37,6 +37,7 @@ def test_documented_query_names_exist():
         "run_incremental_span_rewrite", "apply_incremental_span_removal",
         "build_quality_moments", "extend_quality_moments",
         "quality_score_stream", "apply_dedup_retention",
+        "extend_phash_index", "incremental_phash_stream",
         "write_orc", "read_orc", "write_jsonl", "read_jsonl",
         "read_csv_raw", "clean_to_schema", "ingest_csv_files",
         "union_with_drift", "read_csv_audited", "detect_delimiter",

@@ -186,6 +186,7 @@ _PYTHON_BY_DESIGN = {
     "png_roundtrip_audit",   # mapInPandas real PNG (zlib) decode/resize/encode
     "wav_roundtrip_audit",   # mapInPandas real WAV (RIFF/PCM) decode/resample/encode
     "phash_pairs",           # mapInPandas real BMP decode -> 8x8 luma aHash
+    "incremental_phash_pairs",  # same Arrow pass, delta side only
 }
 _PY_MARKERS = (
     "BatchEvalPython",  # row-at-a-time Python UDF — never acceptable
