@@ -1090,7 +1090,14 @@ def _phash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("multimodal", "dedup", "lsh", "udf", "extension"),
 )
 def phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    f_ = _phash_fingerprints(spark, sf_dir)
+    from ..registry import track_persist
+
+    # persist: the band SELF-join consumes the fingerprint frame twice,
+    # and Spark does not CSE across self-join sides — unpersisted, the
+    # decode/hash Arrow pass would run once per side (the simhash
+    # _reused rule; at cluster scale this is the stored-fingerprint
+    # stage a production run would write to parquet anyway)
+    f_ = track_persist(_phash_fingerprints(spark, sf_dir))
     chunks = F.array(
         *[
             F.shiftright(F.col("fp"), c * 15).bitwiseAND(F.lit(32767))
