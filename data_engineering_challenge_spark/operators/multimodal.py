@@ -1098,26 +1098,27 @@ def phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _reused rule; at cluster scale this is the stored-fingerprint
     # stage a production run would write to parquet anyway)
     f_ = track_persist(_phash_fingerprints(spark, sf_dir))
-    chunks = F.array(
-        *[
-            F.shiftright(F.col("fp"), c * 15).bitwiseAND(F.lit(32767))
-            for c in range(PHASH_CHUNKS)
-        ]
-    )
-    bands = f_.select("doc_id", "fp", F.posexplode(chunks).alias("c", "chunk"))
+    return _banded_self_pairs(f_, PHASH_MAX_HAMMING)
+
+
+def _banded_self_pairs(fps: DataFrame, max_hamming: int) -> DataFrame:
+    """Banded-Hamming self-join over a (doc_id, fp) fingerprint frame —
+    shared by the image (phash) and audio (wavhash) near-dup detectors.
+    The Hamming verify rides INSIDE the join condition: fingerprints
+    are 8 bytes on each band row, so chance chunk collisions are
+    xor/popcount'd and dropped in the streamed join output — candidates
+    are never materialized or shuffled (see module header for the
+    5M-doc math)."""
+    bands = _phash_bands(fps)
     a, b = bands.alias("a"), bands.alias("b")
     ham = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-    # Hamming verify INSIDE the join condition: fingerprints ride on
-    # the band rows, so chance chunk collisions are xor/popcount'd and
-    # dropped in the streamed join output — candidates are never
-    # materialized or shuffled (see module header for the 5M-doc math).
     return (
         a.join(
             b,
             (F.col("a.c") == F.col("b.c"))
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (ham <= PHASH_MAX_HAMMING),
+            & (ham <= max_hamming),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -1139,25 +1140,27 @@ def phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # an image decode; only the delta pays the synth/decode/hash pipeline.
 
 
-def phash_index_dir(sf_dir: str) -> str:
+def _fp_index_dir(sf_dir: str, prefix: str) -> str:
     from ..sinks.versioned import fingerprint_dir
 
-    return fingerprint_dir(sf_dir, "documents", prefix="phash1_")
+    return fingerprint_dir(sf_dir, "documents", prefix=prefix)
 
 
-def build_phash_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+def _build_fp_index(spark, sf_dir: str, table_dir: str, fp_fn) -> int:
     """Fingerprint the corpus slice (incremental buckets <
-    INCR_DELTA_FROM) and publish (doc_id, fp) as a versioned snapshot."""
+    INCR_DELTA_FROM) and publish (doc_id, fp) as a versioned snapshot.
+    Generic over the modality's fingerprint pass (`fp_fn`: (spark,
+    sf_dir) -> (doc_id, fp) frame) — shared by phash and wavhash."""
     from ..operators.dedup import INCR_DELTA_FROM, _incr_bucket
     from ..sinks.versioned import write_snapshot
 
-    fps = _phash_fingerprints(spark, sf_dir).filter(
+    fps = fp_fn(spark, sf_dir).filter(
         _incr_bucket(F.col("doc_id")) < INCR_DELTA_FROM
     )
     return write_snapshot(fps, table_dir)
 
 
-def extend_phash_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+def _extend_fp_index(spark, sf_dir: str, table_dir: str, fp_fn) -> int:
     """Fold the delta batch's fingerprints into snapshot v+1 —
     idempotent (corpus-bucket filter on the read side, the
     extend_minhash_index protocol)."""
@@ -1167,10 +1170,22 @@ def extend_phash_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
     corpus = read_snapshot(spark, table_dir).filter(
         _incr_bucket(F.col("doc_id")) < INCR_DELTA_FROM
     )
-    delta = _phash_fingerprints(spark, sf_dir).filter(
+    delta = fp_fn(spark, sf_dir).filter(
         _incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM
     )
     return write_snapshot(corpus.unionByName(delta), table_dir)
+
+
+def phash_index_dir(sf_dir: str) -> str:
+    return _fp_index_dir(sf_dir, "phash1_")
+
+
+def build_phash_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    return _build_fp_index(spark, sf_dir, table_dir, _phash_fingerprints)
+
+
+def extend_phash_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    return _extend_fp_index(spark, sf_dir, table_dir, _phash_fingerprints)
 
 
 def _phash_bands(fps: DataFrame) -> DataFrame:
@@ -1251,13 +1266,25 @@ def _phash_bands(fps: DataFrame) -> DataFrame:
     tags=("multimodal", "dedup", "lsh", "incremental", "udf", "extension"),
 )
 def incremental_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _incremental_fp_pairs(
+        spark, sf_dir, phash_index_dir(sf_dir), build_phash_index,
+        _phash_fingerprints, PHASH_MAX_HAMMING,
+    )
+
+
+def _incremental_fp_pairs(
+    spark, sf_dir, table_dir, build_fn, fp_fn, max_hamming
+) -> DataFrame:
+    """Generic incremental fingerprint probe (shared by phash and
+    wavhash): the NEW batch's payloads are fingerprinted fresh and
+    probed against the FROZEN index — read back as a 16-byte-row
+    snapshot scan, never a corpus re-decode."""
     from ..operators.dedup import INCR_DELTA_FROM, _incr_bucket
     from ..registry import track_persist
     from ..sinks.versioned import read_snapshot
 
-    table_dir = phash_index_dir(sf_dir)
     if not os.path.exists(os.path.join(table_dir, "manifest.json")):
-        build_phash_index(spark, sf_dir, table_dir)
+        build_fn(spark, sf_dir, table_dir)
     # corpus-bucket filter: a folded snapshot (v2+) also holds delta
     # fingerprints — unioning them with the freshly computed delta
     # would duplicate band rows (same guard as incremental_dedup)
@@ -1265,7 +1292,7 @@ def incremental_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         _incr_bucket(F.col("doc_id")) < INCR_DELTA_FROM
     )
     delta = track_persist(
-        _phash_fingerprints(spark, sf_dir).filter(
+        fp_fn(spark, sf_dir).filter(
             _incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM
         )
     )
@@ -1282,7 +1309,7 @@ def incremental_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("a.c") == F.col("b.c"))
             & (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.doc_id") != F.col("b.doc_id"))
-            & (ham <= PHASH_MAX_HAMMING),
+            & (ham <= max_hamming),
         )
         .select(
             F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
@@ -1323,13 +1350,25 @@ def landing_phash_transform(
     the batch incremental_phash_pairs' job — the same stream/batch
     split landing_dedup_transform documents); pinned in tests against
     the batch query restricted to corpus partners."""
+    return _landing_fp_transform(
+        spark, sf_dir, raw, phash_index_dir(sf_dir), build_phash_index,
+        phash_of_payload_rows, PHASH_MAX_HAMMING,
+    )
+
+
+def _landing_fp_transform(
+    spark, sf_dir, raw, table_dir, build_fn, row_fp_fn, max_hamming
+) -> DataFrame:
+    """Generic landing-zone fingerprint filter (shared by phash and
+    wavhash): arriving delta docs are fingerprinted per row (stateless
+    Arrow pass) and probed against the FROZEN index via a
+    stream-static band join."""
     from ..operators.dedup import INCR_DELTA_FROM, _incr_bucket
     from ..registry import track_persist
     from ..sinks.versioned import read_snapshot
 
-    table_dir = phash_index_dir(sf_dir)
     if not os.path.exists(os.path.join(table_dir, "manifest.json")):
-        build_phash_index(spark, sf_dir, table_dir)
+        build_fn(spark, sf_dir, table_dir)
     corpus = read_snapshot(spark, table_dir).filter(
         _incr_bucket(F.col("doc_id")) < INCR_DELTA_FROM
     )
@@ -1343,14 +1382,14 @@ def landing_phash_transform(
         .repartition("c", "chunk")
     )
     delta = raw.filter(_incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM)
-    delta_bands = _phash_bands(phash_of_payload_rows(delta)).withColumnsRenamed(
+    delta_bands = _phash_bands(row_fp_fn(delta)).withColumnsRenamed(
         {"doc_id": "doc_b", "fp": "fp_b"}
     )
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
     return (
         delta_bands.hint("shuffle_hash")
         .join(corpus_bands, ["c", "chunk"])
-        .filter(ham <= PHASH_MAX_HAMMING)
+        .filter(ham <= max_hamming)
         .select(
             F.least("doc_a", "doc_b").alias("pa"),
             F.greatest("doc_a", "doc_b").alias("pb"),
@@ -1376,3 +1415,319 @@ def incremental_phash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(_stream_dir_for(f"{sf_dir}/documents.parquet", schema.simpleString()))
     )
     return landing_phash_transform(spark, sf_dir, raw)
+
+
+# ---------------------------------------------------------------------------
+# Audio-fingerprint near-dup detection (round 10): the audio twin of
+# the phash family — the stage that connects the stdlib WAV codec above
+# (encode_wav/decode_wav, wav_roundtrip_audit) to the banded-Hamming
+# dedup machinery. The production scenario is "the same clip ingested
+# twice at different sample rates": a nearest-neighbor-resampled copy
+# of a clip has per-frame energies scaled by the resample ratio, so an
+# average-energy hash (bit f set iff FRAMES * E_f > total energy) is
+# exactly invariant under integer nearest resampling — the 1-D twin of
+# the aHash upscale invariance. No reference analogue (the reference is
+# text/tabular only); north-star extension per SURVEY.md §7.4.
+#
+# Scale posture is the phash section's verbatim: one Arrow-batched
+# mapInPandas synth→REAL-RIFF-decode→hash pass (payloads never leave
+# executors), then the shared 4×15-bit band self-join with the popcount
+# verify inside the join condition (_banded_self_pairs).
+
+WAVHASH_GROUP = 4        # docs per synthetic dup group (bounds pairs linearly)
+WAVHASH_FRAMES = 60      # one bit per frame — fits a signed BIGINT exactly
+WAVHASH_FRAME = 4        # base samples per frame -> 240-sample base clip
+WAVHASH_RATES = (8000, 16000, 8000, 8000)  # v1 is the same clip at 2x rate
+WAVHASH_MAX_HAMMING = 3
+_WAVHASH_DISTINCT_CID = 1_000_000_007  # v3 gets unrelated content (foil)
+_WAVHASH_BASE_N = WAVHASH_FRAMES * WAVHASH_FRAME
+
+
+def _wavhash_base_sample(cid: int, k: int) -> int:
+    """int16 sample k of the base clip for content id `cid` —
+    md5-derived for the same reason as _phash_base_pixel (independent
+    hashes across contents; the oracle replays the hex slice)."""
+    h = hashlib.md5(f"au:{cid}:{k}".encode()).hexdigest()
+    return int(h[0:4], 16) - 32768
+
+
+@lru_cache(maxsize=4096)
+def _wavhash_base_clip(cid: int) -> tuple:
+    """Memoized 240-sample base clip (the _phash_base_grid rule: the
+    3-4 docs of a group share it, and partition-ordered doc_ids make
+    the per-worker hit rate ~3/4)."""
+    return tuple(_wavhash_base_sample(cid, k) for k in range(_WAVHASH_BASE_N))
+
+
+def _wavhash_doc_audio(doc_id: int) -> tuple[int, bytes]:
+    """Synthesize the doc's clip as REAL mono 16-bit PCM WAV bytes.
+
+    Corpus model (the phash group structure, transposed): docs come in
+    groups of WAVHASH_GROUP sharing a base clip — v0 the original at
+    8 kHz, v1 the SAME clip nearest-resampled 2x and stored at 16 kHz
+    (the planted near-dup: every frame's energy doubles, Hamming 0),
+    v2 the original with two samples blown to full-scale/silence
+    (small-but-nonzero Hamming), v3 unrelated content (the precision
+    foil). Returns (sample_rate, wav_bytes)."""
+    g, v = doc_id // WAVHASH_GROUP, doc_id % WAVHASH_GROUP
+    cid = g + _WAVHASH_DISTINCT_CID if v == 3 else g
+    base = list(_wavhash_base_clip(cid))
+    if v == 2:
+        base[0] = 32767   # frame 0 energy up
+        base[13] = 0      # frame 3 energy down — both at sampled coords
+    samples = resample_nearest(base, 2.0) if v == 1 else base
+    rate = WAVHASH_RATES[v]
+    return rate, encode_wav(rate, samples)
+
+
+def wavhash60_of_wav(payload: bytes) -> int:
+    """60-bit average-energy hash of a WAV payload: DECODE the real
+    RIFF bytes, split into WAVHASH_FRAMES equal frames, take the
+    integer energy E_f = sum(|sample|) per frame, and set bit f iff
+    FRAMES * E_f > total energy. Integer arithmetic end to end —
+    bit-identical in the SQL oracle — and exactly invariant under
+    integer nearest-neighbor resampling (E_f scales uniformly)."""
+    _, samples = decode_wav(payload)
+    flen = len(samples) // WAVHASH_FRAMES
+    energies = [
+        sum(abs(s) for s in samples[f * flen : (f + 1) * flen])
+        for f in range(WAVHASH_FRAMES)
+    ]
+    total = sum(energies)
+    fp = 0
+    for f, e in enumerate(energies):
+        if WAVHASH_FRAMES * e > total:
+            fp |= 1 << f
+    return fp
+
+
+def _wavhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fp): synthesize the doc's WAV, then hash it THROUGH the
+    codec — every fingerprint has passed through actual RIFF bytes
+    (chunk walk, word alignment, int16 packing), not an arithmetic
+    shortcut. One Arrow-batched pass, zero shuffle."""
+    from ..catalog import spread_scan
+
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf["doc_id"]]
+            fps = []
+            for did in ids:
+                _, payload = _wavhash_doc_audio(did)
+                fps.append(wavhash60_of_wav(payload))
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return d.select("doc_id").mapInPandas(op, schema=PHASH_SCHEMA)
+
+
+@register(
+    "wavhash_pairs",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {WAVHASH_GROUP} = 3
+                        THEN doc_id // {WAVHASH_GROUP} + {_WAVHASH_DISTINCT_CID}
+                        ELSE doc_id // {WAVHASH_GROUP} END AS cid,
+                   doc_id % {WAVHASH_GROUP} AS v
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, v, k, k // {WAVHASH_FRAME} AS f,
+                   md5('au:' || CAST(cid AS VARCHAR) || ':'
+                       || CAST(k AS VARCHAR)) AS m
+            FROM p, range(0, {_WAVHASH_BASE_N}) r(k)
+        ),
+        vals AS (
+            SELECT doc_id, f,
+                   CASE WHEN v = 2 AND k = 0 THEN 32767
+                        WHEN v = 2 AND k = 13 THEN 0
+                        ELSE ('0x' || substr(m, 1, 4))::INT - 32768
+                   END AS sv
+            FROM s
+        ),
+        fe AS (
+            SELECT doc_id, f, SUM(ABS(sv)) AS e FROM vals GROUP BY doc_id, f
+        ),
+        tot AS (SELECT doc_id, SUM(e) AS total FROM fe GROUP BY doc_id),
+        fhash AS (
+            SELECT fe.doc_id,
+                   CAST(SUM(CASE WHEN {WAVHASH_FRAMES} * e > total
+                                 THEN (1::BIGINT << f) ELSE 0 END) AS BIGINT) AS fp
+            FROM fe JOIN tot USING (doc_id)
+            GROUP BY fe.doc_id
+        ),
+        bands AS (
+            SELECT doc_id, fp, c, (fp >> (c * 15)) & 32767 AS chunk
+            FROM fhash, range(0, {PHASH_CHUNKS}) r(c)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.fp, b.fp)) AS hamming
+        FROM bands a
+        JOIN bands b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {WAVHASH_MAX_HAMMING}
+        ORDER BY doc_a, doc_b
+    """,
+    doc="Audio-fingerprint near-dup pairs: per doc, synthesize a REAL "
+    "mono 16-bit PCM WAV (md5-derived int16 clip; docs come in groups "
+    "of 4 sharing a base clip — original at 8 kHz, the SAME clip "
+    "nearest-resampled 2x at 16 kHz, a 2-sample-perturbed copy, an "
+    "unrelated foil), DECODE the RIFF bytes, split into 60 equal "
+    "frames, 60-bit average-energy hash (bit f set iff 60 * E_f > "
+    "total), then the shared 4x15-bit chunk banding (pigeonhole-"
+    "complete for Hamming<=3) with the popcount verify inside the band "
+    "join. Nearest resampling scales every frame energy uniformly, so "
+    "the resampled copy is a planted Hamming-0 recall pin; the oracle "
+    "replays clip generation, framing, energies, thresholding, banding "
+    "and popcount relationally from the same md5 slices — the engine's "
+    "values have additionally passed through actual RIFF bytes (chunk "
+    "walk, word alignment, int16 packing) for EVERY variant, including "
+    "the 480-sample resampled copy whose doubled energies the oracle "
+    "proves out via the invariance, not by re-deriving them.",
+    tags=("multimodal", "dedup", "lsh", "udf", "extension"),
+)
+def wavhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..registry import track_persist
+
+    # persist: the band self-join consumes the fingerprint frame twice
+    # (the phash_pairs rule — at cluster scale this is the stored-
+    # fingerprint stage a production run writes to parquet anyway)
+    f_ = track_persist(_wavhash_fingerprints(spark, sf_dir))
+    return _banded_self_pairs(f_, WAVHASH_MAX_HAMMING)
+
+
+# -- wavhash nightly lifecycle: the audio family gets the same frozen
+# index + incremental probe + stream twin the image family has, via
+# the generic _fp_index helpers (the index is the same 16-byte
+# (doc_id, fp) snapshot shape).
+
+
+def wavhash_index_dir(sf_dir: str) -> str:
+    return _fp_index_dir(sf_dir, "wavhash1_")
+
+
+def build_wavhash_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    return _build_fp_index(spark, sf_dir, table_dir, _wavhash_fingerprints)
+
+
+def extend_wavhash_index(spark: SparkSession, sf_dir: str, table_dir: str) -> int:
+    return _extend_fp_index(spark, sf_dir, table_dir, _wavhash_fingerprints)
+
+
+def wavhash_of_payload_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(doc_id, fp) of an arbitrary doc frame via the same synth ->
+    REAL-RIFF-decode -> energy-hash pass — streaming-safe (stateless
+    mapInPandas), shared by the landing filter below."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = [int(x) for x in pdf[id_col]]
+            fps = []
+            for did in ids:
+                _, payload = _wavhash_doc_audio(did)
+                fps.append(wavhash60_of_wav(payload))
+            yield pd.DataFrame({"doc_id": ids, "fp": fps})
+
+    return df.select(id_col).mapInPandas(op, schema=PHASH_SCHEMA)
+
+
+@register(
+    "incremental_wavhash_pairs",
+    oracle=f"""
+        WITH p AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {WAVHASH_GROUP} = 3
+                        THEN doc_id // {WAVHASH_GROUP} + {_WAVHASH_DISTINCT_CID}
+                        ELSE doc_id // {WAVHASH_GROUP} END AS cid,
+                   doc_id % {WAVHASH_GROUP} AS v
+            FROM documents
+        ),
+        s AS (
+            SELECT doc_id, v, k, k // {WAVHASH_FRAME} AS f,
+                   md5('au:' || CAST(cid AS VARCHAR) || ':'
+                       || CAST(k AS VARCHAR)) AS m
+            FROM p, range(0, {_WAVHASH_BASE_N}) r(k)
+        ),
+        vals AS (
+            SELECT doc_id, f,
+                   CASE WHEN v = 2 AND k = 0 THEN 32767
+                        WHEN v = 2 AND k = 13 THEN 0
+                        ELSE ('0x' || substr(m, 1, 4))::INT - 32768
+                   END AS sv
+            FROM s
+        ),
+        fe AS (
+            SELECT doc_id, f, SUM(ABS(sv)) AS e FROM vals GROUP BY doc_id, f
+        ),
+        tot AS (SELECT doc_id, SUM(e) AS total FROM fe GROUP BY doc_id),
+        fhash AS (
+            SELECT fe.doc_id,
+                   CAST(SUM(CASE WHEN {WAVHASH_FRAMES} * e > total
+                                 THEN (1::BIGINT << f) ELSE 0 END) AS BIGINT) AS fp
+            FROM fe JOIN tot USING (doc_id)
+            GROUP BY fe.doc_id
+        ),
+        bands AS (
+            SELECT doc_id, fp, c, (fp >> (c * 15)) & 32767 AS chunk
+            FROM fhash, range(0, {PHASH_CHUNKS}) r(c)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               bit_count(xor(a.fp, b.fp)) AS hamming
+        FROM bands a
+        JOIN bands b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= {WAVHASH_MAX_HAMMING}
+          AND (('0x' || substr(md5('inc:' || CAST(a.doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 >= 90
+               OR ('0x' || substr(md5('inc:' || CAST(b.doc_id AS VARCHAR)), 1, 8))
+                   ::BIGINT % 100 >= 90)
+        ORDER BY doc_a, doc_b
+    """,
+    doc="Incremental audio dedup: the NEW batch's clips (incremental "
+    "buckets >= 90, the standard salted split) are fingerprinted fresh "
+    "(synth -> RIFF decode -> 60-frame energy hash) and probed against "
+    "the FROZEN wavhash index of the other 90% — read back as a "
+    "16-byte-row snapshot scan, never a corpus re-decode. Candidates "
+    "come from joining the delta's band rows against the union of "
+    "index and delta bands with the Hamming verify inside the join "
+    "condition; results are pair-identical to a full-corpus "
+    "wavhash_pairs run restricted to delta-involved pairs, which is "
+    "what the oracle replays. Nightly cost is O(delta) decode plus a "
+    "fingerprint scan. Shares the generic _fp_index lifecycle with "
+    "the image family (build / idempotent extend / landing stream).",
+    tags=("multimodal", "dedup", "lsh", "incremental", "udf", "extension"),
+)
+def incremental_wavhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _incremental_fp_pairs(
+        spark, sf_dir, wavhash_index_dir(sf_dir), build_wavhash_index,
+        _wavhash_fingerprints, WAVHASH_MAX_HAMMING,
+    )
+
+
+def landing_wavhash_transform(
+    spark: SparkSession, sf_dir: str, raw: DataFrame
+) -> DataFrame:
+    """Landing-zone audio near-dup filter over an arbitrary documents
+    stream: 'is this incoming clip a near-dup of anything we already
+    hold?' — stream scope is corpus-delta pairs only (delta-delta
+    pairs are the batch incremental_wavhash_pairs' job; the same
+    stream/batch split the image twin documents)."""
+    return _landing_fp_transform(
+        spark, sf_dir, raw, wavhash_index_dir(sf_dir), build_wavhash_index,
+        wavhash_of_payload_rows, WAVHASH_MAX_HAMMING,
+    )
+
+
+def incremental_wavhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream wiring of the landing-zone audio filter (file-drop
+    source; production swaps in kafka options)."""
+    from ..streaming.pipelines import _stream_dir_for, apply_streaming_confs
+
+    apply_streaming_confs(spark)
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_stream_dir_for(f"{sf_dir}/documents.parquet", schema.simpleString()))
+    )
+    return landing_wavhash_transform(spark, sf_dir, raw)

@@ -184,6 +184,19 @@ def _run_incremental(spark: SparkSession, cfg: dict[str, Any]) -> dict[str, Any]
                 build_phash_index(spark, sf_dir, table_dir)
             probe = incremental_phash_pairs(spark, sf_dir)
             fold = lambda: extend_phash_index(spark, sf_dir, table_dir)  # noqa: E731
+        elif kind == "wavhash":
+            from .operators.multimodal import (
+                build_wavhash_index,
+                extend_wavhash_index,
+                incremental_wavhash_pairs,
+                wavhash_index_dir,
+            )
+
+            table_dir = wavhash_index_dir(sf_dir)
+            if not os.path.exists(os.path.join(table_dir, "manifest.json")):
+                build_wavhash_index(spark, sf_dir, table_dir)
+            probe = incremental_wavhash_pairs(spark, sf_dir)
+            fold = lambda: extend_wavhash_index(spark, sf_dir, table_dir)  # noqa: E731
         else:
             raise ValueError(f"unknown incremental index kind: {kind}")
         out_path = os.path.join(cfg["probe_out"], kind)

@@ -64,6 +64,8 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     # -- new in round 10 (no driver row ever) --------------------------
     "phash_pairs",
     "incremental_phash_pairs",
+    "wavhash_pairs",
+    "incremental_wavhash_pairs",
     # -- newest driver row is r6 (judge spot-runs only since) ----------
     "session_gap_profile",
     "sessionize_events",

@@ -99,19 +99,19 @@ def test_incremental_nightly_stage(spark, tmp_path, monkeypatch):
     cfg = {
         "incremental": {
             "sf_dir": "/root/testdata/sf0.01",
-            "indexes": ["span", "minhash", "quality", "lm", "phash"],
+            "indexes": ["span", "minhash", "quality", "lm", "phash", "wavhash"],
             "probe_out": str(tmp_path / "probe"),
             "vacuum_keep": 2,
         }
     }
     night1 = run_pipeline(spark, cfg)
-    assert set(night1) == {"span", "minhash", "quality", "lm", "phash"}
-    for kind in ("span", "minhash", "quality", "lm", "phash"):
+    assert set(night1) == {"span", "minhash", "quality", "lm", "phash", "wavhash"}
+    for kind in ("span", "minhash", "quality", "lm", "phash", "wavhash"):
         assert night1[kind]["index_version"] == 2  # build v1 + fold v2
     assert night1["quality"]["probe_rows"] == 7  # the refreshed model
     assert night1["lm"]["probe_rows"] == 59  # per-(source, split) rollup
     night2 = run_pipeline(spark, cfg)
-    for kind in ("span", "minhash", "quality", "lm", "phash"):
+    for kind in ("span", "minhash", "quality", "lm", "phash", "wavhash"):
         # same delta re-probed against the same corpus rows -> same report
         assert night2[kind]["probe_rows"] == night1[kind]["probe_rows"]
         assert night2[kind]["index_version"] == 3  # idempotent re-fold
