@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load_table
+from ..functions.text import NORM_SQL as _NORM_SQL
 from ..registry import register
 
 META_SCHEMA = (
@@ -999,6 +1000,80 @@ def ahash60_of_bmp(payload: bytes) -> int:
 PHASH_SCHEMA = "doc_id bigint, fp bigint"
 
 
+def _phash_f_ctes(pfx: str = "") -> str:
+    """CTE chain computing the image fingerprint table ``{pfx}f(doc_id,
+    fp)`` relationally (pixel synthesis → luma → threshold). Prefixed
+    so two modalities' chains can coexist in one oracle."""
+    return f"""
+        {pfx}p AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % {PHASH_GROUP} = 3
+                        THEN doc_id // {PHASH_GROUP} + {_PHASH_DISTINCT_CID}
+                        ELSE doc_id // {PHASH_GROUP} END AS cid,
+                   doc_id % {PHASH_GROUP} AS v
+            FROM documents
+        ),
+        {pfx}cells AS (
+            SELECT doc_id, cid, v, 8 * y + x AS idx, 2 * x AS i, 2 * y AS j
+            FROM {pfx}p, range(0, 8) rx(x), range(0, 8) ry(y)
+            WHERE 8 * y + x < {PHASH_BITS}
+        ),
+        {pfx}px AS (
+            SELECT doc_id, idx,
+                   CASE WHEN v = 2 AND i = 0 AND j = 0 THEN 255
+                        WHEN v = 2 AND i = 14 AND j = 0 THEN 0
+                        ELSE (77 * ('0x' || substr(m, 1, 2))::INT
+                            + 150 * ('0x' || substr(m, 3, 2))::INT
+                            + 29 * ('0x' || substr(m, 5, 2))::INT) // 256
+                   END AS luma
+            FROM (
+                SELECT doc_id, v, idx, i, j,
+                       md5('px:' || CAST(cid AS VARCHAR) || ':'
+                           || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS m
+                FROM {pfx}cells
+            )
+        ),
+        {pfx}tot AS (
+            SELECT doc_id, SUM(luma) AS total FROM {pfx}px GROUP BY doc_id
+        ),
+        {pfx}f AS (
+            SELECT {pfx}px.doc_id,
+                   CAST(SUM(CASE WHEN {PHASH_BITS} * luma > total
+                                 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS fp
+            FROM {pfx}px JOIN {pfx}tot USING (doc_id)
+            GROUP BY {pfx}px.doc_id
+        )"""
+
+
+def _fp_pairs_cte(pfx: str, max_hamming: int) -> str:
+    """CTE chain turning ``{pfx}f(doc_id, fp)`` into the banded
+    near-dup pair table ``{pfx}pairs(doc_a, doc_b, hamming)`` — the
+    relational twin of _banded_self_pairs, shared by every modality."""
+    return f"""
+        {pfx}bands AS (
+            SELECT doc_id, fp, c, (fp >> (c * 15)) & 32767 AS chunk
+            FROM {pfx}f, range(0, {PHASH_CHUNKS}) r(c)
+        ),
+        {pfx}pairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   bit_count(xor(a.fp, b.fp)) AS hamming
+            FROM {pfx}bands a
+            JOIN {pfx}bands b
+              ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+        )"""
+
+
+# delta-involvement filter over a pairs CTE's (doc_a, doc_b) — the
+# oracle twin of the incremental probe's bucket split (commutes with
+# the pair join, so it can apply after the generic pairs CTE)
+_INCR_PAIR_FILTER_SQL = """
+        (('0x' || substr(md5('inc:' || CAST(doc_a AS VARCHAR)), 1, 8))
+             ::BIGINT % 100 >= 90
+         OR ('0x' || substr(md5('inc:' || CAST(doc_b AS VARCHAR)), 1, 8))
+             ::BIGINT % 100 >= 90)"""
+
+
 def _phash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fp): synthesize the doc's BMP, then hash it THROUGH the
     codec — every fingerprint has passed through actual BMP bytes
@@ -1025,51 +1100,8 @@ def _phash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "phash_pairs",
     oracle=f"""
-        WITH p AS (
-            SELECT doc_id,
-                   CASE WHEN doc_id % {PHASH_GROUP} = 3
-                        THEN doc_id // {PHASH_GROUP} + {_PHASH_DISTINCT_CID}
-                        ELSE doc_id // {PHASH_GROUP} END AS cid,
-                   doc_id % {PHASH_GROUP} AS v
-            FROM documents
-        ),
-        cells AS (
-            SELECT doc_id, cid, v, 8 * y + x AS idx, 2 * x AS i, 2 * y AS j
-            FROM p, range(0, 8) rx(x), range(0, 8) ry(y)
-            WHERE 8 * y + x < {PHASH_BITS}
-        ),
-        px AS (
-            SELECT doc_id, idx,
-                   CASE WHEN v = 2 AND i = 0 AND j = 0 THEN 255
-                        WHEN v = 2 AND i = 14 AND j = 0 THEN 0
-                        ELSE (77 * ('0x' || substr(m, 1, 2))::INT
-                            + 150 * ('0x' || substr(m, 3, 2))::INT
-                            + 29 * ('0x' || substr(m, 5, 2))::INT) // 256
-                   END AS luma
-            FROM (
-                SELECT doc_id, v, idx, i, j,
-                       md5('px:' || CAST(cid AS VARCHAR) || ':'
-                           || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS m
-                FROM cells
-            )
-        ),
-        tot AS (SELECT doc_id, SUM(luma) AS total FROM px GROUP BY doc_id),
-        f AS (
-            SELECT px.doc_id,
-                   CAST(SUM(CASE WHEN {PHASH_BITS} * luma > total
-                                 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS fp
-            FROM px JOIN tot USING (doc_id)
-            GROUP BY px.doc_id
-        ),
-        bands AS (
-            SELECT doc_id, fp, c, (fp >> (c * 15)) & 32767 AS chunk
-            FROM f, range(0, {PHASH_CHUNKS}) r(c)
-        )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(xor(a.fp, b.fp)) AS hamming
-        FROM bands a
-        JOIN bands b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.fp, b.fp)) <= {PHASH_MAX_HAMMING}
+        WITH {_phash_f_ctes()}, {_fp_pairs_cte("", PHASH_MAX_HAMMING)}
+        SELECT doc_a, doc_b, hamming FROM pairs
         ORDER BY doc_a, doc_b
     """,
     doc="Perceptual-hash image near-dup pairs: per doc, synthesize a "
@@ -1202,55 +1234,9 @@ def _phash_bands(fps: DataFrame) -> DataFrame:
 @register(
     "incremental_phash_pairs",
     oracle=f"""
-        WITH p AS (
-            SELECT doc_id,
-                   CASE WHEN doc_id % {PHASH_GROUP} = 3
-                        THEN doc_id // {PHASH_GROUP} + {_PHASH_DISTINCT_CID}
-                        ELSE doc_id // {PHASH_GROUP} END AS cid,
-                   doc_id % {PHASH_GROUP} AS v
-            FROM documents
-        ),
-        cells AS (
-            SELECT doc_id, cid, v, 8 * y + x AS idx, 2 * x AS i, 2 * y AS j
-            FROM p, range(0, 8) rx(x), range(0, 8) ry(y)
-            WHERE 8 * y + x < {PHASH_BITS}
-        ),
-        px AS (
-            SELECT doc_id, idx,
-                   CASE WHEN v = 2 AND i = 0 AND j = 0 THEN 255
-                        WHEN v = 2 AND i = 14 AND j = 0 THEN 0
-                        ELSE (77 * ('0x' || substr(m, 1, 2))::INT
-                            + 150 * ('0x' || substr(m, 3, 2))::INT
-                            + 29 * ('0x' || substr(m, 5, 2))::INT) // 256
-                   END AS luma
-            FROM (
-                SELECT doc_id, v, idx, i, j,
-                       md5('px:' || CAST(cid AS VARCHAR) || ':'
-                           || CAST(i AS VARCHAR) || ':' || CAST(j AS VARCHAR)) AS m
-                FROM cells
-            )
-        ),
-        tot AS (SELECT doc_id, SUM(luma) AS total FROM px GROUP BY doc_id),
-        f AS (
-            SELECT px.doc_id,
-                   CAST(SUM(CASE WHEN {PHASH_BITS} * luma > total
-                                 THEN (1::BIGINT << idx) ELSE 0 END) AS BIGINT) AS fp
-            FROM px JOIN tot USING (doc_id)
-            GROUP BY px.doc_id
-        ),
-        bands AS (
-            SELECT doc_id, fp, c, (fp >> (c * 15)) & 32767 AS chunk
-            FROM f, range(0, {PHASH_CHUNKS}) r(c)
-        )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(xor(a.fp, b.fp)) AS hamming
-        FROM bands a
-        JOIN bands b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.fp, b.fp)) <= {PHASH_MAX_HAMMING}
-          AND (('0x' || substr(md5('inc:' || CAST(a.doc_id AS VARCHAR)), 1, 8))
-                   ::BIGINT % 100 >= 90
-               OR ('0x' || substr(md5('inc:' || CAST(b.doc_id AS VARCHAR)), 1, 8))
-                   ::BIGINT % 100 >= 90)
+        WITH {_phash_f_ctes()}, {_fp_pairs_cte("", PHASH_MAX_HAMMING)}
+        SELECT doc_a, doc_b, hamming FROM pairs
+        WHERE {_INCR_PAIR_FILTER_SQL}
         ORDER BY doc_a, doc_b
     """,
     doc="Incremental image dedup: the NEW batch's images (incremental "
@@ -1522,10 +1508,12 @@ def _wavhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").mapInPandas(op, schema=PHASH_SCHEMA)
 
 
-@register(
-    "wavhash_pairs",
-    oracle=f"""
-        WITH p AS (
+def _wavhash_f_ctes(pfx: str = "") -> str:
+    """CTE chain computing the audio fingerprint table ``{pfx}f(doc_id,
+    fp)`` relationally (clip synthesis → frame energies → threshold).
+    Prefixed so two modalities' chains can coexist in one oracle."""
+    return f"""
+        {pfx}p AS (
             SELECT doc_id,
                    CASE WHEN doc_id % {WAVHASH_GROUP} = 3
                         THEN doc_id // {WAVHASH_GROUP} + {_WAVHASH_DISTINCT_CID}
@@ -1533,40 +1521,41 @@ def _wavhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                    doc_id % {WAVHASH_GROUP} AS v
             FROM documents
         ),
-        s AS (
+        {pfx}s AS (
             SELECT doc_id, v, k, k // {WAVHASH_FRAME} AS f,
                    md5('au:' || CAST(cid AS VARCHAR) || ':'
                        || CAST(k AS VARCHAR)) AS m
-            FROM p, range(0, {_WAVHASH_BASE_N}) r(k)
+            FROM {pfx}p, range(0, {_WAVHASH_BASE_N}) r(k)
         ),
-        vals AS (
+        {pfx}vals AS (
             SELECT doc_id, f,
                    CASE WHEN v = 2 AND k = 0 THEN 32767
                         WHEN v = 2 AND k = 13 THEN 0
                         ELSE ('0x' || substr(m, 1, 4))::INT - 32768
                    END AS sv
-            FROM s
+            FROM {pfx}s
         ),
-        fe AS (
-            SELECT doc_id, f, SUM(ABS(sv)) AS e FROM vals GROUP BY doc_id, f
+        {pfx}fe AS (
+            SELECT doc_id, f, SUM(ABS(sv)) AS e
+            FROM {pfx}vals GROUP BY doc_id, f
         ),
-        tot AS (SELECT doc_id, SUM(e) AS total FROM fe GROUP BY doc_id),
-        fhash AS (
-            SELECT fe.doc_id,
+        {pfx}tot AS (
+            SELECT doc_id, SUM(e) AS total FROM {pfx}fe GROUP BY doc_id
+        ),
+        {pfx}f AS (
+            SELECT {pfx}fe.doc_id,
                    CAST(SUM(CASE WHEN {WAVHASH_FRAMES} * e > total
                                  THEN (1::BIGINT << f) ELSE 0 END) AS BIGINT) AS fp
-            FROM fe JOIN tot USING (doc_id)
-            GROUP BY fe.doc_id
-        ),
-        bands AS (
-            SELECT doc_id, fp, c, (fp >> (c * 15)) & 32767 AS chunk
-            FROM fhash, range(0, {PHASH_CHUNKS}) r(c)
-        )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(xor(a.fp, b.fp)) AS hamming
-        FROM bands a
-        JOIN bands b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.fp, b.fp)) <= {WAVHASH_MAX_HAMMING}
+            FROM {pfx}fe JOIN {pfx}tot USING (doc_id)
+            GROUP BY {pfx}fe.doc_id
+        )"""
+
+
+@register(
+    "wavhash_pairs",
+    oracle=f"""
+        WITH {_wavhash_f_ctes()}, {_fp_pairs_cte("", WAVHASH_MAX_HAMMING)}
+        SELECT doc_a, doc_b, hamming FROM pairs
         ORDER BY doc_a, doc_b
     """,
     doc="Audio-fingerprint near-dup pairs: per doc, synthesize a REAL "
@@ -1635,52 +1624,9 @@ def wavhash_of_payload_rows(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 @register(
     "incremental_wavhash_pairs",
     oracle=f"""
-        WITH p AS (
-            SELECT doc_id,
-                   CASE WHEN doc_id % {WAVHASH_GROUP} = 3
-                        THEN doc_id // {WAVHASH_GROUP} + {_WAVHASH_DISTINCT_CID}
-                        ELSE doc_id // {WAVHASH_GROUP} END AS cid,
-                   doc_id % {WAVHASH_GROUP} AS v
-            FROM documents
-        ),
-        s AS (
-            SELECT doc_id, v, k, k // {WAVHASH_FRAME} AS f,
-                   md5('au:' || CAST(cid AS VARCHAR) || ':'
-                       || CAST(k AS VARCHAR)) AS m
-            FROM p, range(0, {_WAVHASH_BASE_N}) r(k)
-        ),
-        vals AS (
-            SELECT doc_id, f,
-                   CASE WHEN v = 2 AND k = 0 THEN 32767
-                        WHEN v = 2 AND k = 13 THEN 0
-                        ELSE ('0x' || substr(m, 1, 4))::INT - 32768
-                   END AS sv
-            FROM s
-        ),
-        fe AS (
-            SELECT doc_id, f, SUM(ABS(sv)) AS e FROM vals GROUP BY doc_id, f
-        ),
-        tot AS (SELECT doc_id, SUM(e) AS total FROM fe GROUP BY doc_id),
-        fhash AS (
-            SELECT fe.doc_id,
-                   CAST(SUM(CASE WHEN {WAVHASH_FRAMES} * e > total
-                                 THEN (1::BIGINT << f) ELSE 0 END) AS BIGINT) AS fp
-            FROM fe JOIN tot USING (doc_id)
-            GROUP BY fe.doc_id
-        ),
-        bands AS (
-            SELECT doc_id, fp, c, (fp >> (c * 15)) & 32767 AS chunk
-            FROM fhash, range(0, {PHASH_CHUNKS}) r(c)
-        )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               bit_count(xor(a.fp, b.fp)) AS hamming
-        FROM bands a
-        JOIN bands b ON a.c = b.c AND a.chunk = b.chunk AND a.doc_id < b.doc_id
-        WHERE bit_count(xor(a.fp, b.fp)) <= {WAVHASH_MAX_HAMMING}
-          AND (('0x' || substr(md5('inc:' || CAST(a.doc_id AS VARCHAR)), 1, 8))
-                   ::BIGINT % 100 >= 90
-               OR ('0x' || substr(md5('inc:' || CAST(b.doc_id AS VARCHAR)), 1, 8))
-                   ::BIGINT % 100 >= 90)
+        WITH {_wavhash_f_ctes()}, {_fp_pairs_cte("", WAVHASH_MAX_HAMMING)}
+        SELECT doc_a, doc_b, hamming FROM pairs
+        WHERE {_INCR_PAIR_FILTER_SQL}
         ORDER BY doc_a, doc_b
     """,
     doc="Incremental audio dedup: the NEW batch's clips (incremental "
@@ -1731,3 +1677,131 @@ def incremental_wavhash_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(_stream_dir_for(f"{sf_dir}/documents.parquet", schema.simpleString()))
     )
     return landing_wavhash_transform(spark, sf_dir, raw)
+
+
+# ---------------------------------------------------------------------------
+# Cross-modal retention (round 10): the decision layer above the
+# per-modality near-dup detectors. A production corpus pipeline runs
+# text, image, and audio dedup side by side and then has to answer ONE
+# question per document: does any modality give a reason to drop it?
+# This operator materializes that answer — per dropped doc, the
+# smallest partner that dominates it and the per-modality evidence
+# counts — under the greedy keep-first policy (drop a doc iff it has a
+# near-dup partner with a smaller doc_id). Keep-first over pair lists
+# is deliberately NOT connected components: Hamming near-duplication
+# is not transitive, so a doc is only dropped on DIRECT evidence
+# against a surviving-or-smaller doc, never by transitive chains (the
+# components-based alternative lives in dedup_clusters /
+# dedup_retention_plan for the text family).
+
+
+@register(
+    "multimodal_retention_plan",
+    oracle=f"""
+        WITH {_phash_f_ctes("i")}, {_fp_pairs_cte("i", PHASH_MAX_HAMMING)},
+        {_wavhash_f_ctes("au")}, {_fp_pairs_cte("au", WAVHASH_MAX_HAMMING)},
+        tn AS (
+            SELECT doc_id, md5({_NORM_SQL}) AS cfp FROM documents
+        ),
+        tt AS (
+            SELECT doc_id,
+                   CAST(ROW_NUMBER() OVER (PARTITION BY cfp ORDER BY doc_id)
+                        - 1 AS BIGINT) AS text_partners,
+                   MIN(doc_id) OVER (PARTITION BY cfp) AS text_min
+            FROM tn WHERE cfp IS NOT NULL
+        ),
+        t AS (
+            SELECT doc_id, text_partners, text_min
+            FROM tt WHERE text_partners > 0
+        ),
+        img AS (
+            SELECT doc_b AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS img_partners,
+                   MIN(doc_a) AS img_min
+            FROM ipairs GROUP BY doc_b
+        ),
+        aud AS (
+            SELECT doc_b AS doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS audio_partners,
+                   MIN(doc_a) AS audio_min
+            FROM aupairs GROUP BY doc_b
+        )
+        SELECT doc_id,
+               LEAST(text_min, img_min, audio_min) AS min_partner,
+               COALESCE(text_partners, 0) AS text_partners,
+               COALESCE(img_partners, 0) AS img_partners,
+               COALESCE(audio_partners, 0) AS audio_partners
+        FROM t
+        FULL JOIN img USING (doc_id)
+        FULL JOIN aud USING (doc_id)
+        ORDER BY doc_id
+    """,
+    doc="Cross-modal retention plan: one row per DROPPED doc under the "
+    "greedy keep-first policy — a doc is dropped iff some modality "
+    "(exact text fingerprint, image phash pair, audio wavhash pair) "
+    "pairs it with a smaller doc_id — reporting the smallest "
+    "dominating partner and per-modality evidence counts. Text "
+    "evidence is rank-within-exact-fp-group (never a quadratic pair "
+    "expansion; NULL-normalized docs are singletons); image/audio "
+    "evidence aggregates the banded pair tables by the dropped side. "
+    "Keep-first over pair lists is deliberately not transitive "
+    "closure: a doc is dropped only on direct Hamming evidence (see "
+    "section note). The oracle replays all three evidence chains "
+    "relationally from the shared fingerprint CTE builders.",
+    tags=("multimodal", "dedup", "extension"),
+)
+def multimodal_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from ..functions.text import normalize_text
+
+    # text: rank within exact-content-fp group (partition-bounded
+    # window, no global order, no pair expansion)
+    d = load_table(spark, sf_dir, "documents")
+    tn = d.select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text")).cast("binary")).alias("cfp"),
+    ).filter(F.col("cfp").isNotNull())
+    t = (
+        tn.select(
+            "doc_id",
+            (F.row_number().over(Window.partitionBy("cfp").orderBy("doc_id")) - 1)
+            .cast("bigint")
+            .alias("text_partners"),
+            F.min("doc_id").over(Window.partitionBy("cfp")).alias("text_min"),
+        )
+        .filter(F.col("text_partners") > 0)
+    )
+    # image / audio: aggregate the banded pair tables by the dropped
+    # (greater) side — dropped-doc-sized frames on 8-byte keys
+    img = (
+        phash_pairs(spark, sf_dir)
+        .groupBy("doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("img_partners"),
+            F.min("doc_a").alias("img_min"),
+        )
+        .withColumnRenamed("doc_b", "doc_id")
+    )
+    aud = (
+        wavhash_pairs(spark, sf_dir)
+        .groupBy("doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("audio_partners"),
+            F.min("doc_a").alias("audio_min"),
+        )
+        .withColumnRenamed("doc_b", "doc_id")
+    )
+    return (
+        t.join(img, "doc_id", "full")
+        .join(aud, "doc_id", "full")
+        .select(
+            "doc_id",
+            # least() skips NULLs in both engines (NULL only if all are)
+            F.least("text_min", "img_min", "audio_min").alias("min_partner"),
+            F.coalesce("text_partners", F.lit(0).cast("bigint")).alias("text_partners"),
+            F.coalesce("img_partners", F.lit(0).cast("bigint")).alias("img_partners"),
+            F.coalesce("audio_partners", F.lit(0).cast("bigint")).alias("audio_partners"),
+        )
+        .orderBy("doc_id")
+    )

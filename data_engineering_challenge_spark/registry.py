@@ -66,6 +66,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "incremental_phash_pairs",
     "wavhash_pairs",
     "incremental_wavhash_pairs",
+    "multimodal_retention_plan",
     # -- newest driver row is r6 (judge spot-runs only since) ----------
     "session_gap_profile",
     "sessionize_events",

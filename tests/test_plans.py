@@ -187,6 +187,9 @@ _PYTHON_BY_DESIGN = {
     "wav_roundtrip_audit",   # mapInPandas real WAV (RIFF/PCM) decode/resample/encode
     "phash_pairs",           # mapInPandas real BMP decode -> 8x8 luma aHash
     "incremental_phash_pairs",  # same Arrow pass, delta side only
+    "wavhash_pairs",         # mapInPandas real WAV decode -> frame-energy hash
+    "incremental_wavhash_pairs",  # same Arrow pass, delta side only
+    "multimodal_retention_plan",  # composes the phash/wavhash Arrow passes
 }
 _PY_MARKERS = (
     "BatchEvalPython",  # row-at-a-time Python UDF — never acceptable
