@@ -1805,3 +1805,94 @@ def multimodal_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def apply_multimodal_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the kept corpus under the cross-modal keep-first
+    policy: documents anti-joined against the plan's drop set (the
+    drop set is dropped-doc-sized — the corpus is never widened)."""
+    d = load_table(spark, sf_dir, "documents")
+    dropped = multimodal_retention_plan(spark, sf_dir).select("doc_id")
+    return d.join(dropped, "doc_id", "anti")
+
+
+@register(
+    "multimodal_retention_apply",
+    oracle=f"""
+        WITH {_phash_f_ctes("i")}, {_fp_pairs_cte("i", PHASH_MAX_HAMMING)},
+        {_wavhash_f_ctes("au")}, {_fp_pairs_cte("au", WAVHASH_MAX_HAMMING)},
+        tn AS (
+            SELECT doc_id, md5({_NORM_SQL}) AS cfp FROM documents
+        ),
+        tt AS (
+            SELECT doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY cfp ORDER BY doc_id) - 1
+                       AS text_rank
+            FROM tn WHERE cfp IS NOT NULL
+        ),
+        drops AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_id FROM tt WHERE text_rank > 0
+                UNION ALL SELECT doc_b AS doc_id FROM ipairs
+                UNION ALL SELECT doc_b AS doc_id FROM aupairs
+            )
+        )
+        SELECT d.source,
+               COUNT(*) AS docs_total,
+               CAST(COUNT(*) FILTER (WHERE dr.doc_id IS NULL) AS BIGINT)
+                   AS docs_kept,
+               CAST(COUNT(*) FILTER (WHERE dr.doc_id IS NOT NULL) AS BIGINT)
+                   AS docs_dropped,
+               CAST(COALESCE(SUM(n_chars) FILTER (WHERE dr.doc_id IS NULL), 0)
+                    AS BIGINT) AS chars_kept,
+               CAST(COALESCE(SUM(('0x' || substr(md5(text), 1, 15))::BIGINT
+                                 ::DECIMAL(38,0))
+                             FILTER (WHERE dr.doc_id IS NULL), 0)
+                    % 1099511627776 AS BIGINT) AS kept_content_sum
+        FROM documents d LEFT JOIN drops dr USING (doc_id)
+        GROUP BY d.source ORDER BY d.source
+    """,
+    doc="The APPLY half of cross-modal retention (closing the "
+    "plan→apply loop the other dedup families have): materialize the "
+    "kept corpus under the keep-first policy — documents anti-joined "
+    "against the plan's drop set — and report, per source, kept/"
+    "dropped doc counts, kept chars, and an order-independent content "
+    "checksum of the kept set (sum of 60-bit text hashes mod 2^40, "
+    "exact decimal accumulation — the dedup_retention_apply pattern): "
+    "the checksum pins WHICH docs survived, not just how many. The "
+    "oracle replays the drop set from the shared fingerprint CTE "
+    "builders plus the text-rank chain.",
+    tags=("multimodal", "dedup", "extension"),
+)
+def multimodal_retention_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    kept = apply_multimodal_retention(spark, sf_dir)
+    gh = (
+        F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10)
+        .cast("bigint")
+        .cast("decimal(38,0)")
+    )
+    kept_agg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_kept"),
+        F.sum("n_chars").cast("bigint").alias("chars_kept"),
+        (F.coalesce(F.sum(gh), F.lit(0).cast("decimal(38,0)")) % F.lit(1099511627776))
+        .cast("bigint")
+        .alias("kept_content_sum"),
+    )
+    totals = d.groupBy("source").agg(F.count(F.lit(1)).alias("docs_total"))
+    return (
+        totals.join(kept_agg, "source", "left")
+        .select(
+            "source",
+            "docs_total",
+            F.coalesce("docs_kept", F.lit(0)).cast("bigint").alias("docs_kept"),
+            (F.col("docs_total") - F.coalesce("docs_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("docs_dropped"),
+            F.coalesce("chars_kept", F.lit(0)).cast("bigint").alias("chars_kept"),
+            F.coalesce("kept_content_sum", F.lit(0))
+            .cast("bigint")
+            .alias("kept_content_sum"),
+        )
+        .orderBy("source")
+    )

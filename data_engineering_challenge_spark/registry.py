@@ -67,6 +67,7 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "wavhash_pairs",
     "incremental_wavhash_pairs",
     "multimodal_retention_plan",
+    "multimodal_retention_apply",
     # -- newest driver row is r6 (judge spot-runs only since) ----------
     "session_gap_profile",
     "sessionize_events",

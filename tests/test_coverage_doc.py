@@ -37,6 +37,7 @@ def test_documented_query_names_exist():
         "run_incremental_span_rewrite", "apply_incremental_span_removal",
         "build_quality_moments", "extend_quality_moments",
         "quality_score_stream", "apply_dedup_retention",
+        "apply_multimodal_retention",
         "extend_phash_index", "incremental_phash_stream",
         "extend_wavhash_index", "incremental_wavhash_stream",
         "write_orc", "read_orc", "write_jsonl", "read_jsonl",

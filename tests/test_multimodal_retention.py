@@ -80,3 +80,46 @@ def test_multimodal_retention_matches_bruteforce(spark, tmp_path_factory):
     assert got[4][1] == 1 and got[8][1] == 2 and got[8][0] == 0
     assert 12 not in {k for k, v in got.items() if v[1] > 0}, "NULL text never text-pairs"
     assert any(v[2] > 0 for v in got.values()) and any(v[3] > 0 for v in got.values())
+
+
+def test_multimodal_retention_apply_consistency(spark, tmp_path_factory):
+    """The apply half must materialize exactly {all docs} minus the
+    plan's drop set, and the per-source report must balance
+    (total = kept + dropped) with the checksum recomputed brute-force
+    over the surviving docs' texts."""
+    import hashlib
+
+    from data_engineering_challenge_spark.operators.multimodal import (
+        apply_multimodal_retention,
+        multimodal_retention_apply,
+    )
+
+    n = 24
+    texts = [f"t {i}" if i % 7 else None for i in range(n)]
+    texts[3] = texts[19] = "same body"
+    path = str(tmp_path_factory.mktemp("mmapply"))
+    spark.createDataFrame(
+        [(i, texts[i], f"s{i % 2}", len(texts[i]) if texts[i] else 0) for i in range(n)],
+        "doc_id long, text string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+
+    plan_drops = {
+        r["doc_id"] for r in multimodal_retention_plan(spark, path).collect()
+    }
+    kept_ids = {r["doc_id"] for r in apply_multimodal_retention(spark, path).collect()}
+    assert kept_ids == set(range(n)) - plan_drops
+    assert 19 in plan_drops and 3 not in plan_drops  # exact-text pair
+
+    rep = {r["source"]: r for r in multimodal_retention_apply(spark, path).collect()}
+    for src in ("s0", "s1"):
+        r = rep[src]
+        assert r["docs_total"] == r["docs_kept"] + r["docs_dropped"] == n // 2
+        exp_kept = [i for i in kept_ids if f"s{i % 2}" == src]
+        assert r["docs_kept"] == len(exp_kept)
+        csum = sum(
+            int(hashlib.md5(texts[i].encode()).hexdigest()[:15], 16)
+            for i in exp_kept if texts[i] is not None
+        ) % (1 << 40)
+        assert r["kept_content_sum"] == csum
