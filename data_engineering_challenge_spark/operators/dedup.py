@@ -897,30 +897,19 @@ def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "extension"),
 )
 def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The phash/wavhash band join applied back to the family that
+    # inspired it: fingerprints ride ON the band rows and the Hamming
+    # verify evaluates INSIDE the join condition, so chance chunk
+    # collisions are xor/popcount'd and dropped in the streamed join
+    # output. The previous shape (materialize candidates via distinct,
+    # then two join-backs to fetch fingerprints) shuffled the full
+    # candidate space — text simhash chunks are content-skewed, so at
+    # sf10 that exchange went quadratic (measured 677 s; this plan:
+    # one band shuffle, candidates never materialized).
+    from .multimodal import _banded_self_pairs
+
     f_ = _simhash_fingerprints(spark, sf_dir)
-    chunks = F.array(
-        *[
-            F.shiftright(F.col("fp"), c * 15).bitwiseAND(F.lit(32767))
-            for c in range(SIMHASH_CHUNKS)
-        ]
-    )
-    bands = f_.select("doc_id", F.posexplode(chunks).alias("c", "chunk"))
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.c") == F.col("b.c")) & (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    fa = f_.select(F.col("doc_id").alias("doc_a"), F.col("fp").alias("fp_a"))
-    fb = f_.select(F.col("doc_id").alias("doc_b"), F.col("fp").alias("fp_b"))
-    ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
-        .select("doc_a", "doc_b", ham.alias("hamming"))
-        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
-        .orderBy("doc_a", "doc_b")
-    )
+    return _banded_self_pairs(f_, SIMHASH_MAX_HAMMING)
 
 
 @register(
