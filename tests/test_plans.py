@@ -190,6 +190,7 @@ _PYTHON_BY_DESIGN = {
     "wavhash_pairs",         # mapInPandas real WAV decode -> frame-energy hash
     "incremental_wavhash_pairs",  # same Arrow pass, delta side only
     "multimodal_retention_plan",  # composes the phash/wavhash Arrow passes
+    "multimodal_retention_apply",  # anti-join against the same Arrow-pass plan
 }
 _PY_MARKERS = (
     "BatchEvalPython",  # row-at-a-time Python UDF — never acceptable
