@@ -65,6 +65,45 @@ ANOMALY_WINDOW = 7  # trailing days used for the mean/std baseline
 BIGRAM_TOP_K = 50
 
 
+def basket_pair_counts(l: DataFrame) -> DataFrame:
+    """(pa, pb, n_orders) support counts of distinct-part pairs per
+    order — the shared core of copurchase_pairs and the pagerank edge
+    build.
+
+    r10 rewrite (guide §2.4: remove shuffles outright): ONE aggregation
+    collects each order's distinct parts into a sorted array (partial
+    map-side agg, one 8-byte-key shuffle), the basket cap filters on
+    array size, and pair expansion is a MAP-SIDE nested transform over
+    the sorted array — no distinct, no window, no self-join. The old
+    chain (distinct → window count → pp⋈pp self-join) paid three wide
+    exchanges plus a join; this pays two exchanges total (basket agg,
+    pair-count agg). Per-order pair expansion stays bounded by
+    C(MAX_BASKET, 2) exactly as before — the cap is applied before the
+    flatten. Result-identical: collect_set == per-order distinct, and
+    a sorted-array (i < j) expansion enumerates each pa < pb pair
+    exactly once per order."""
+    ps = (
+        l.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("ps"))
+        .filter(F.size("ps") <= MAX_BASKET)
+        .select(F.array_sort("ps").alias("ps"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size(F.col("ps")) - i - F.lit(1)),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
+    return (
+        ps.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
 @register(
     "copurchase_pairs",
     oracle=f"""
@@ -98,28 +137,13 @@ BIGRAM_TOP_K = 50
 )
 def copurchase_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    po = l.select("l_orderkey", "l_partkey").distinct()
-    # basket-size cap via window count on the orderkey partitioning the
-    # distinct already produced — no extra shuffle for the guard
-    w = Window.partitionBy("l_orderkey")
-    pp = (
-        po.withColumn("basket_size", F.count(F.lit(1)).over(w))
-        .filter(F.col("basket_size") <= MAX_BASKET)
-        .select("l_orderkey", "l_partkey")
-    )
-    a = pp.alias("a")
-    b = pp.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        basket_pair_counts(l.select("l_orderkey", "l_partkey"))
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "n_orders",
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= MIN_SUPPORT)
         .orderBy(F.desc("n_orders"), F.asc("part_a"), F.asc("part_b"))
         .limit(100)
@@ -689,7 +713,16 @@ def _bpe_learn_loop(
     d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
         load_table(spark, sf_dir, "documents"), spark, "doc_id"
     )
-    prev = d.select("doc_id", tokens(F.col("text")).alias("seq")).localCheckpoint()
+    # LAZY checkpoints (r10): eager=False still caches the generation
+    # and cuts lineage, but materialization happens inside the NEXT
+    # step's argmax job instead of a dedicated per-step job — one
+    # corpus pass per step instead of two (argmax + checkpoint). The
+    # final generation is only materialized by whoever consumes it
+    # (build_bpe_artifacts' snapshot write); bpe_learn itself never
+    # pays for it.
+    prev = d.select("doc_id", tokens(F.col("text")).alias("seq")).localCheckpoint(
+        eager=False
+    )
     merges: list[tuple[int, str, str, int]] = []
     for step in range(1, BPE_LEARN_STEPS + 1):
         staged = prev.filter(F.size("seq") >= 2).select(
@@ -709,5 +742,5 @@ def _bpe_learn_loop(
             break
         lhs, rhs, freq = top[0]["lhs"], top[0]["rhs"], int(top[0]["freq"])
         merges.append((step, lhs, rhs, freq))
-        prev = _bpe_resegment(prev, lhs, rhs).localCheckpoint()
+        prev = _bpe_resegment(prev, lhs, rhs).localCheckpoint(eager=False)
     return merges, prev

@@ -420,24 +420,15 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-20 parts by integer-quantized copurchase PageRank."""
     from .analytics_ext import MAX_BASKET, MIN_SUPPORT
 
+    from .analytics_ext import basket_pair_counts
+
     l = load_table(spark, sf_dir, "lineitem")
-    po = l.select("l_orderkey", "l_partkey").distinct()
-    sized = (
-        po.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("nb"))
-        .filter(F.col("nb") <= MAX_BASKET)
-        .select("l_orderkey")
-    )
-    pp = po.join(sized, "l_orderkey")
+    # r10: shared basket-pair core (one collect_set agg + map-side pair
+    # expansion — see analytics_ext.basket_pair_counts) replaces the
+    # distinct → sized-filter join → pp⋈pp self-join edge build.
     prs = (
-        pp.alias("a")
-        .join(pp.alias("b"), "l_orderkey")
-        .filter(F.col("a.l_partkey") < F.col("b.l_partkey"))
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
-        .filter(F.col("n") >= MIN_SUPPORT)
+        basket_pair_counts(l.select("l_orderkey", "l_partkey"))
+        .filter(F.col("n_orders") >= MIN_SUPPORT)
         .select("pa", "pb")
     )
     edges = track_cached(
@@ -445,43 +436,56 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = track_cached(
-        edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+    # r10 iteration rewrite (guide §2.4/§3): ONE join per iteration
+    # instead of three. The graph is symmetric by construction (every
+    # prs row contributes both directions), so src-set == dst-set ==
+    # deg's node set: the inflow aggregation alone reaches EVERY node,
+    # making the old deg left-join + coalesce(0) redundant; and
+    # attaching the destination's out-degree to the edge list ONCE at
+    # build time (dgd below) lets each generation carry (part, dg)
+    # through the aggregation instead of re-joining deg for the share
+    # division. Oracle-pinned bit-identical (same bigint floor-div
+    # arithmetic, exact integer sums).
+    deg_d = deg.select(F.col("src").alias("_dn"), F.col("dg").alias("dgd"))
+    edges2 = track_cached(
+        edges.join(deg_d, edges.dst == deg_d._dn)
+        .select("src", "dst", "dgd")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # node count is a bounded scalar (like the BPE argmax collects):
-    # the fixed-point per-node seed and teleport base derive from it
+    # the fixed-point per-node seed and teleport base derive from it —
+    # counting deg also materializes the persisted edge list, so the
+    # deg re-derivations below (edges2 build, rank seed) are cheap
+    # aggregations over cached 16-byte edge rows.
     n_nodes = deg.count()
     if n_nodes == 0:
         return spark.createDataFrame([], "part bigint, rank_scaled bigint")
     per = PR_SCALE // n_nodes
     base = (15 * per) // 100
-    ranks = deg.select(F.col("src").alias("part"), F.lit(per).cast("bigint").alias("r"))
+    ranks = deg.select(
+        F.col("src").alias("part"), "dg", F.lit(per).cast("bigint").alias("r")
+    )
     for _ in range(PR_ITERS):
-        shares = ranks.join(deg, ranks.part == deg.src).select(
-            "part", F.expr("r div dg").alias("share")
-        )
-        inflow = (
-            edges.join(shares, edges.src == shares.part)
-            .groupBy(F.col("dst"))
-            .agg(F.sum("share").cast("bigint").alias("total"))
-        )
+        shares = ranks.select("part", F.expr("r div dg").alias("share"))
         ranks = (
-            deg.select(F.col("src").alias("part"))
-            .join(inflow, F.col("part") == F.col("dst"), "left")
-            .select(
-                "part",
+            edges2.join(shares, edges2.src == shares.part)
+            .groupBy(F.col("dst").alias("part"))
+            .agg(
+                F.max("dgd").alias("dg"),  # one value per dst by construction
                 (
                     F.lit(base)
-                    + F.expr(f"(85 * coalesce(total, 0L)) div 100")
+                    + F.expr("(85 * sum(share)) div 100")
                 )
                 .cast("bigint")
                 .alias("r"),
             )
         )
-        # cut lineage per generation (the CC-loop convention): eight
-        # chained join+agg generations would otherwise replay from the
-        # edge build on every downstream action
+        # cut lineage per generation (the CC-loop convention). Measured
+        # r10: EAGER wins here — lazy/no-checkpoint variants chain all
+        # eight generations' broadcast builds into one job and ran
+        # 1.3-2.5x slower (probe in OPTIMIZATION_r10.md); unlike the
+        # BPE loop there is no per-step driver action to piggyback on.
         ranks = ranks.localCheckpoint(eager=True)
     return ranks.select(
         "part", F.col("r").alias("rank_scaled")
