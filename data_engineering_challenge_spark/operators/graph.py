@@ -41,7 +41,7 @@ tests/test_graph.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -96,6 +96,10 @@ def connected_components(
         # successor is materialized may the previous generation be
         # dropped — releasing the parent early would force a recompute
         # of the whole chain.
+        # r10: the convergence metric rides the checkpoint job itself
+        # (df.observe fires when eager localCheckpoint materializes the
+        # rows) — one job per iteration instead of checkpoint + count.
+        obs = Observation()
         new_gen = (
             stepped.join(lut, stepped.lbl == lut.jnode, "left")
             .select(
@@ -103,9 +107,10 @@ def connected_components(
                 F.least(F.col("lbl"), F.coalesce(F.col("jlbl"), F.col("lbl"))).alias("lbl"),
                 "old_lbl",
             )
+            .observe(obs, F.sum((F.col("lbl") != F.col("old_lbl")).cast("long")).alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = new_gen.filter(F.col("lbl") != F.col("old_lbl")).count()
+        changed = int(obs.get["changed"] or 0)
         # Free the superseded generation. Iteration 1's `gen` is the
         # persist()-ed seed frame, which unpersist() frees directly;
         # every later `gen` is a checkpoint leaf whose cache is
@@ -160,6 +165,9 @@ def connected_components_bipartite(
         lut = stepped.select(F.col("node").alias("jnode"), F.col("lbl").alias("jlbl"))
         # eager localCheckpoint: materialize + cache + plan-leaf (see
         # connected_components — the leaf is what bounds plan growth)
+        # r10: convergence metric fused into the checkpoint job via
+        # observe (see connected_components) — one job per iteration.
+        obs = Observation()
         new_gen = (
             stepped.join(lut, stepped.lbl == lut.jnode, "left")
             .select(
@@ -167,9 +175,10 @@ def connected_components_bipartite(
                 F.least(F.col("lbl"), F.coalesce(F.col("jlbl"), F.col("lbl"))).alias("lbl"),
                 "old_lbl",
             )
+            .observe(obs, F.sum((F.col("lbl") != F.col("old_lbl")).cast("long")).alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = new_gen.filter(F.col("lbl") != F.col("old_lbl")).count()
+        changed = int(obs.get["changed"] or 0)
         # unpersist() frees the persist()-ed seed on iteration 1; later
         # generations are checkpoint leaves freed by reference drop +
         # ContextCleaner (see connected_components / module doc)

@@ -949,6 +949,19 @@ def _phash_base_grid(cid: int) -> tuple:
     )
 
 
+@lru_cache(maxsize=4096)
+def _phash_grid_rows(cid: int) -> tuple[bytes, ...]:
+    """Per-row BGR byte strings of the 16x16 base image — the encode
+    path's unit of work. r10 (guide §4.2): the original per-pixel
+    encode called pix() 256-1024x per doc; building rows as bytes once
+    per cid and splicing them is ~10x less Python per doc while
+    producing byte-identical BMPs (pinned by the roundtrip test)."""
+    return tuple(
+        b"".join(bytes((b_, g_, r_)) for (r_, g_, b_) in row)
+        for row in _phash_base_grid(cid)
+    )
+
+
 def _phash_doc_image(doc_id: int) -> tuple[int, int, bytes]:
     """Synthesize the doc's image as REAL 24-bit BMP bytes.
 
@@ -957,38 +970,79 @@ def _phash_doc_image(doc_id: int) -> tuple[int, int, bytes]:
     (the planted near-dup: same 8x8 grid, Hamming 0), v2 the original
     with two sampled pixels blown to white/black (small-but-nonzero
     Hamming — pairs only if the mean shift flips <= 3 grid bits), v3
-    unrelated content (the precision foil). Returns (W, H, bmp)."""
+    unrelated content (the precision foil). Returns (W, H, bmp).
+
+    Byte-identical to encode_bmp over the per-pixel grid (pinned by
+    test_phash), but assembled from cached per-row BGR byte strings:
+    nearest-neighbor upscale is pixel-block repetition within a row
+    plus row repetition, both bytes-level splices."""
+    import struct
+
     g, v = doc_id // PHASH_GROUP, doc_id % PHASH_GROUP
     cid = g + _PHASH_DISTINCT_CID if v == 3 else g
     s = PHASH_SCALES[v]
-    base = [list(row) for row in _phash_base_grid(cid)]
+    rows = list(_phash_grid_rows(cid))
     if v == 2:
-        base[0][0] = (255, 255, 255)
-        base[0][14] = (0, 0, 0)  # (i=14, j=0) — both at sampled coords
+        r0 = bytearray(rows[0])
+        r0[0:3] = b"\xff\xff\xff"  # (i=0, j=0) blown to white
+        r0[42:45] = b"\x00\x00\x00"  # (i=14, j=0) blown to black
+        rows[0] = bytes(r0)
+    if s > 1:
+        rows = [
+            b"".join(row[i : i + 3] * s for i in range(0, len(row), 3))
+            for row in rows
+        ]
     w = h = PHASH_BASE * s
-
-    def pix(x: int, y: int) -> tuple[int, int, int]:
-        r, g_, b = base[y // s][x // s]
-        return (b, g_, r)  # BMP stores BGR
-
-    return w, h, encode_bmp(w, h, pix)
+    row_size = (3 * w + 3) // 4 * 4
+    pad = b"\x00" * (row_size - 3 * w)
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    body = b"".join(rows[y // s] + pad for y in range(h - 1, -1, -1))
+    return w, h, header + info + body
 
 
 def ahash60_of_bmp(payload: bytes) -> int:
-    """60-bit average-hash of a BMP payload: DECODE the real bytes,
-    nearest-neighbor resize to 8x8 (the existing resize_nearest), take
-    integer luma (77r+150g+29b)>>8 per cell, and set bit idx=8y+x
-    (idx < 60) iff 60*luma > sum(luma over the 60 cells). Integer
-    arithmetic end to end — bit-identical in the SQL oracle."""
-    w, h, grid = decode_bmp(payload)
-    _, _, g8 = resize_nearest(w, h, grid, 8.0 / w)
+    """60-bit average-hash of a BMP payload: read the real bytes
+    (header offsets, bottom-up row order, row padding), nearest-
+    neighbor sample to 8x8, take integer luma (77r+150g+29b)>>8 per
+    cell, and set bit idx=8y+x (idx < 60) iff 60*luma > sum(luma over
+    the 60 cells). Integer arithmetic end to end — bit-identical in
+    the SQL oracle.
+
+    r10 (guide §4.2): samples the 60 needed pixels DIRECTLY at their
+    payload offsets instead of materializing the full pixel grid
+    through decode_bmp + resize_nearest — the old path built up to
+    1024 tuples per doc to read 60 of them. Header validation and the
+    sample-coordinate arithmetic (int(y/scale) float division) are
+    copied verbatim from decode_bmp/resize_nearest; equality with the
+    generic-codec path is pinned by test_phash."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    row_size = (3 * w + 3) // 4 * 4
+    scale = 8.0 / w
     lumas = []
     for y in range(8):
+        sy = min(h - 1, int(y / scale))
+        base = off + (h - 1 - sy) * row_size
         for x in range(8):
             if 8 * y + x >= PHASH_BITS:
                 continue
-            b, g_, r = g8[y][x]
-            lumas.append((77 * r + 150 * g_ + 29 * b) >> 8)
+            p = base + 3 * min(w - 1, int(x / scale))
+            lumas.append(
+                (77 * payload[p + 2] + 150 * payload[p + 1] + 29 * payload[p]) >> 8
+            )
     total = sum(lumas)
     fp = 0
     for idx, l in enumerate(lumas):
@@ -1074,16 +1128,35 @@ _INCR_PAIR_FILTER_SQL = """
              ::BIGINT % 100 >= 90)"""
 
 
+def _spread_by_group(
+    df: DataFrame, spark: SparkSession, group: int
+) -> DataFrame:
+    """spread_scan variant keyed on the dup-GROUP id (doc_id div
+    group) instead of doc_id: members of one synthetic group land in
+    the same partition, so the per-worker base-grid/base-clip
+    lru_cache actually hits (hash-partitioning by doc_id scatters the
+    3-4 docs of a group across workers and nearly every doc recomputes
+    its group's md5 grid). Same small-input-only guard as
+    catalog.spread_scan — a no-op at cluster scale."""
+    target = spark.sparkContext.defaultParallelism
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        return df
+    return df.repartition(target, F.expr(f"doc_id div {group}"))
+
+
 def _phash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fp): synthesize the doc's BMP, then hash it THROUGH the
     codec — every fingerprint has passed through actual BMP bytes
     (header offsets, bottom-up rows, padding), not an arithmetic
-    shortcut. One Arrow-batched pass, zero shuffle (spread_scan only
-    redistributes the single-file scan at test SFs — a multi-file
-    100-TB layout is already parallel)."""
-    from ..catalog import spread_scan
-
-    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    shortcut. One Arrow-batched pass, zero shuffle (the group-keyed
+    spread only redistributes the single-file scan at test SFs — a
+    multi-file 100-TB layout is already parallel)."""
+    d = _spread_by_group(
+        load_table(spark, sf_dir, "documents"), spark, PHASH_GROUP
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1491,10 +1564,11 @@ def _wavhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, fp): synthesize the doc's WAV, then hash it THROUGH the
     codec — every fingerprint has passed through actual RIFF bytes
     (chunk walk, word alignment, int16 packing), not an arithmetic
-    shortcut. One Arrow-batched pass, zero shuffle."""
-    from ..catalog import spread_scan
-
-    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    shortcut. One Arrow-batched pass, zero shuffle (group-keyed spread:
+    see _spread_by_group)."""
+    d = _spread_by_group(
+        load_table(spark, sf_dir, "documents"), spark, WAVHASH_GROUP
+    )
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

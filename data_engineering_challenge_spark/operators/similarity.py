@@ -180,14 +180,26 @@ def _band_bucket_sql(vec: str, band: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def _band_bucket_col(vec_col: F.Column, band: int) -> F.Column:
+def _band_bucket_col(vec_name: str, band: int) -> F.Column:
+    """8-bit sign-LSH bucket id for one band, built as ONE SQL string
+    parsed JVM-side. The previous Column-operator construction issued
+    ~2,000 py4j round trips per query (8 planes x 64 F.lit calls x 4
+    bands) — measured ~2 s of pure driver-side DataFrame build time at
+    any SF (guide §1.2: per-task work includes the driver). The parsed
+    expression tree is IDENTICAL (same aggregate/zip_with fold, same
+    literals, same fold order), so scores stay bit-identical — pinned
+    by the oracle hash match."""
     planes = hyperplanes(LSH_BANDS * PLANES_PER_BAND, DIM)
-    b = F.lit(0)
+    terms = []
     for j in range(PLANES_PER_BAND):
         w_ = planes[band * PLANES_PER_BAND + j]
-        arr = F.array(*[F.lit(float(x)) for x in w_])
-        b = b + F.when(dot(vec_col, arr) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return b
+        arr = "array(" + ", ".join(f"{float(x)}D" for x in w_) + ")"
+        proj = (
+            f"aggregate(zip_with({vec_name}, {arr}, (x, y) -> x * y), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        terms.append(f"(CASE WHEN {proj} >= 0 THEN {1 << j} ELSE 0 END)")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 @register(
@@ -232,7 +244,7 @@ def _band_bucket_col(vec_col: F.Column, band: int) -> F.Column:
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_with_norm(spark, sf_dir)
-    band_arr = F.array(*[_band_bucket_col(F.col("v"), b) for b in range(LSH_BANDS)])
+    band_arr = F.array(*[_band_bucket_col("v", b) for b in range(LSH_BANDS)])
     buckets = track_persist(
         e.select("vec_id", F.posexplode(band_arr).alias("band", "bucket")),
         StorageLevel.MEMORY_AND_DISK,  # consumed by the probe and corpus sides
@@ -317,7 +329,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_with_norm(spark, sf_dir)
-    band_arr = F.array(*[_band_bucket_col(F.col("v"), b) for b in range(LSH_BANDS)])
+    band_arr = F.array(*[_band_bucket_col("v", b) for b in range(LSH_BANDS)])
     buckets = track_persist(
         e.select("vec_id", F.posexplode(band_arr).alias("band", "bucket")),
         StorageLevel.MEMORY_AND_DISK,  # both sides of the bucket self-join
@@ -564,6 +576,12 @@ def _kmedian_centroids(e: DataFrame, n_iter: int = N_KMEDIAN_ITER) -> DataFrame:
             .agg(cv.alias("cv"))
             .select(F.col("cell").alias("cent_id"), "cv", norm(F.col("cv")).alias("cn"))
         )
+        # r10: materialize each generation (a ~√n-row centroid table).
+        # Downstream consumes cents 2x per round (assignment build +
+        # probe build) and 2x again in _ivf_search — unchecked, every
+        # broadcast build re-executed the whole preceding k-median
+        # chain (measured: the 2-round train replayed ~4x per query).
+        cents = cents.localCheckpoint(eager=True)
     return cents
 
 
