@@ -74,6 +74,32 @@ def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return dfs
 
 
+def scan_partitions(df: DataFrame) -> int:
+    """Partition count of a scan-rooted frame, memoized per file list.
+
+    `df.rdd.getNumPartitions()` compiles a physical plan per call
+    (~40-50 ms warm) and the suite probes the same handful of parquet
+    tables hundreds of times per bench run; the split count is a pure
+    function of the scan's files (+ session split confs), so one probe
+    per file list amortizes the rest (guide §1.2: driver work counts).
+    Frames with no resolvable input files (in-memory test frames) fall
+    through to the direct probe."""
+    try:
+        key = tuple(df.inputFiles())
+    except Exception:
+        key = ()
+    if not key:
+        return df.rdd.getNumPartitions()
+    n = _SCAN_PARTS_CACHE.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS_CACHE[key] = n
+    return n
+
+
+_SCAN_PARTS_CACHE: dict[tuple[str, ...], int] = {}
+
+
 def spread_scan(df: DataFrame, spark: SparkSession, key: str) -> DataFrame:
     """Hash-repartition a compute-dense frame up to session parallelism
     when the source scan yields fewer partitions than cores.
@@ -99,7 +125,7 @@ def spread_scan(df: DataFrame, spark: SparkSession, key: str) -> DataFrame:
         # spread_scan exists for, so balance wins. At cluster scale a
         # real corpus scan has ≥ cores splits of uniform
         # maxPartitionBytes and the condition below is false — no-op.
-        if df.rdd.getNumPartitions() >= target:
+        if scan_partitions(df) >= target:
             return df
     except Exception:
         return df

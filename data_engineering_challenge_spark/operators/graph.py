@@ -440,12 +440,23 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_orders") >= MIN_SUPPORT)
         .select("pa", "pb")
     )
-    edges = track_cached(
-        prs.select(F.col("pa").alias("src"), F.col("pb").alias("dst"))
-        .unionByName(prs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    # r10 edge build: persist the PAIR list (the expensive basket
+    # aggregation ran exactly once — the old union-of-two-selects
+    # recomputed it per branch), derive degrees by exploding pair
+    # endpoints (deg(x) = #pairs containing x = out-degree in the
+    # symmetric edge list), and expand both edge directions MAP-SIDE
+    # with the destination's degree already attached.
+    prs = track_cached(prs.persist(StorageLevel.MEMORY_AND_DISK))
+    deg = track_cached(
+        prs.select(F.explode(F.array("pa", "pb")).alias("src"))
+        .groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("dg"))
+    # node count is a bounded scalar (like the BPE argmax collects):
+    # the fixed-point per-node seed and teleport base derive from it —
+    # counting deg also materializes the persisted pair list.
+    n_nodes = deg.count()
     # r10 iteration rewrite (guide §2.4/§3): ONE join per iteration
     # instead of three. The graph is symmetric by construction (every
     # prs row contributes both directions), so src-set == dst-set ==
@@ -456,18 +467,30 @@ def copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # through the aggregation instead of re-joining deg for the share
     # division. Oracle-pinned bit-identical (same bigint floor-div
     # arithmetic, exact integer sums).
-    deg_d = deg.select(F.col("src").alias("_dn"), F.col("dg").alias("dgd"))
+    dga = deg.select(F.col("src").alias("_na"), F.col("dg").alias("_dga"))
+    dgb = deg.select(F.col("src").alias("_nb"), F.col("dg").alias("_dgb"))
     edges2 = track_cached(
-        edges.join(deg_d, edges.dst == deg_d._dn)
-        .select("src", "dst", "dgd")
+        prs.join(dga, prs.pa == dga._na)
+        .join(dgb, prs.pb == dgb._nb)
+        .select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("pa").alias("src"),
+                        F.col("pb").alias("dst"),
+                        F.col("_dgb").alias("dgd"),
+                    ),
+                    F.struct(
+                        F.col("pb").alias("src"),
+                        F.col("pa").alias("dst"),
+                        F.col("_dga").alias("dgd"),
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst", "e.dgd")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # node count is a bounded scalar (like the BPE argmax collects):
-    # the fixed-point per-node seed and teleport base derive from it —
-    # counting deg also materializes the persisted edge list, so the
-    # deg re-derivations below (edges2 build, rank seed) are cheap
-    # aggregations over cached 16-byte edge rows.
-    n_nodes = deg.count()
     if n_nodes == 0:
         return spark.createDataFrame([], "part bigint, rank_scaled bigint")
     per = PR_SCALE // n_nodes

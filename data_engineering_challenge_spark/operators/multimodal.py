@@ -1138,9 +1138,11 @@ def _spread_by_group(
     3-4 docs of a group across workers and nearly every doc recomputes
     its group's md5 grid). Same small-input-only guard as
     catalog.spread_scan — a no-op at cluster scale."""
+    from ..catalog import scan_partitions
+
     target = spark.sparkContext.defaultParallelism
     try:
-        if df.rdd.getNumPartitions() >= target:
+        if scan_partitions(df) >= target:
             return df
     except Exception:
         return df
