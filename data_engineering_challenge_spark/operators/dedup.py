@@ -26,8 +26,6 @@ Scale design (100 TB posture):
 
 from __future__ import annotations
 
-from functools import reduce
-from operator import add
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
@@ -325,17 +323,13 @@ def _minhash_signatures(
     d1 = F.sha2(F.col("gram").cast("binary"), 256)
     d2 = F.sha2(F.concat(F.lit("x:"), F.col("gram")).cast("binary"), 256)
     hh = g.select("doc_id", d1.alias("d1"), d2.alias("d2"))
+    # r10: 16 min-slices as parsed SQL (one py4j call each instead of
+    # five) — same conv/substring/cast tree, oracle hash-matched.
     mins = [
-        F.min(
-            F.conv(
-                F.substring(
-                    F.col("d1" if j < _MH_SLICES_PER_DIGEST else "d2"),
-                    (j % _MH_SLICES_PER_DIGEST) * 8 + 1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("long")
+        F.expr(
+            "min(CAST(conv(substring("
+            f"{'d1' if j < _MH_SLICES_PER_DIGEST else 'd2'}, "
+            f"{(j % _MH_SLICES_PER_DIGEST) * 8 + 1}, 8), 16, 10) AS BIGINT))"
         ).alias(f"h{j}")
         for j in range(NUM_MINHASH)
     ]
@@ -833,19 +827,22 @@ def _simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
     h = F.conv(F.substring(F.md5(F.col("tok").cast("binary")), 1, 15), 16, 10).cast("long")
+    # r10: the 60 per-bit tallies and the 60-term recombination are
+    # built as SQL strings parsed JVM-side — the Column-operator loop
+    # issued ~360 py4j round trips (~1 s of driver-side build per
+    # query). Parsed trees are identical; oracle hash-matched.
     bit_sums = [
-        F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << p)) != 0, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (h & {1 << p}L) != 0 THEN 1 ELSE -1 END)"
         ).alias(f"b{p}")
         for p in range(SIMHASH_BITS)
     ]
     s = t.select("doc_id", h.alias("h")).groupBy("doc_id").agg(*bit_sums)
-    fp = reduce(
-        add,
-        [
-            F.when(F.col(f"b{p}") > 0, F.lit(1 << p)).otherwise(F.lit(0)).cast("long")
+    fp = F.expr(
+        " + ".join(
+            f"CAST(CASE WHEN b{p} > 0 THEN {1 << p}L ELSE 0L END AS BIGINT)"
             for p in range(SIMHASH_BITS)
-        ],
+        )
     )
     return _reused(s.select("doc_id", fp.alias("fp")))
 
