@@ -466,7 +466,11 @@ BMP_AUDIT_SCHEMA = (
     tags=("multimodal", "udf", "extension"),
 )
 def bmp_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from ..catalog import spread_scan
+
+    # r10: the per-doc codec pass is compute-dense Python; the
+    # single-file test scan ran it on ONE task (see spread_scan)
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -600,7 +604,11 @@ def png_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # conversion layer, no pandas requirement in the hot loop.
     import pyarrow as pa
 
-    d = load_table(spark, sf_dir, "documents")
+    from ..catalog import spread_scan
+
+    # r10: zlib encode/decode per doc is compute-dense Python; the
+    # single-file test scan ran it on ONE task (see spread_scan)
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
     out_schema = pa.schema(
         [
             ("doc_id", pa.int64()),
@@ -626,7 +634,9 @@ def png_roundtrip_audit_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The r8 pandas-bridge variant, kept for the bench comparison
     (tools/codec_bench.py) — same rows, same plan shape, two extra
     pandas conversions per batch."""
-    d = load_table(spark, sf_dir, "documents")
+    from ..catalog import spread_scan
+
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -863,7 +873,11 @@ WAV_AUDIT_SCHEMA = (
     tags=("multimodal", "udf", "extension"),
 )
 def wav_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load_table(spark, sf_dir, "documents")
+    from ..catalog import spread_scan
+
+    # r10: the per-doc codec pass is compute-dense Python; the
+    # single-file test scan ran it on ONE task (see spread_scan)
+    d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
