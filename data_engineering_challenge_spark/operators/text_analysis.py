@@ -1003,6 +1003,9 @@ def source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
+    # (r10 note: persisting the exploded token stream — and separately
+    # the tiny grid — was probed and measured SLOWER than the repeated
+    # tokenize passes; see OPTIMIZATION_r10.md "left alone")
     toks = d.select("source", F.explode(tokens(F.col("text"))).alias("token"))
     corpus = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c_t"))
     top = corpus.orderBy(F.col("c_t").desc(), F.col("token").asc()).limit(_DRIFT_TOPK)
