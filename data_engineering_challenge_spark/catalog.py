@@ -85,11 +85,17 @@ def scan_partitions(df: DataFrame) -> int:
     Frames with no resolvable input files (in-memory test frames) fall
     through to the direct probe."""
     try:
-        key = tuple(df.inputFiles())
+        files = tuple(df.inputFiles())
     except Exception:
-        key = ()
-    if not key:
+        files = ()
+    if not files:
         return df.rdd.getNumPartitions()
+    # r11 (ADVICE): key on the owning SparkSession too — a probe cached
+    # under one session (whose split confs fix the file→split packing)
+    # must not be served to a different session with different confs.
+    # id() of the live session object is free; a torn-down session's
+    # entries become unreachable keys, never wrong answers.
+    key = (id(df.sparkSession), files)
     n = _SCAN_PARTS_CACHE.get(key)
     if n is None:
         n = df.rdd.getNumPartitions()
@@ -97,7 +103,7 @@ def scan_partitions(df: DataFrame) -> int:
     return n
 
 
-_SCAN_PARTS_CACHE: dict[tuple[str, ...], int] = {}
+_SCAN_PARTS_CACHE: dict[tuple[int, tuple[str, ...]], int] = {}
 
 
 def spread_scan(df: DataFrame, spark: SparkSession, key: str) -> DataFrame:

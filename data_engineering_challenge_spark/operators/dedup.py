@@ -374,12 +374,23 @@ _MINHASH_CAND_SQL = f"""g AS ({_GRAMS_SQL}),
         )"""
 
 
-def _lsh_candidates(sig: DataFrame) -> DataFrame:
-    """(doc_a, doc_b) candidate pairs from banded signatures with the
-    hot-bucket cap — the shared head of minhash_lsh_pairs and the
-    precision audit (same pairs both queries verify)."""
+
+def _sig_est(a: str = "s_a", b: str = "s_b") -> F.Column:
+    """Estimated Jaccard = matching signature slots / NUM_MINHASH, as
+    ONE unrolled codegen expression (r11). The zip_with+aggregate HOF
+    pair it replaces is interpreted per element (CodegenFallback);
+    integer addition is exact, so the unrolled sum is value-identical
+    and the single float division is unchanged."""
+    terms = " + ".join(
+        f"CAST(({a}[{j}] = {b}[{j}]) AS INT)" for j in range(NUM_MINHASH)
+    )
+    return F.expr(f"({terms})") / float(NUM_MINHASH)
+
+
+def _band_hash_arr() -> F.Column:
+    """4 md5 band hashes of the signature array `s` (one Column)."""
     rows_per_band = NUM_MINHASH // MINHASH_BANDS
-    band_hashes = F.array(
+    return F.array(
         *[
             F.md5(
                 F.concat_ws(
@@ -389,7 +400,14 @@ def _lsh_candidates(sig: DataFrame) -> DataFrame:
             for b in range(MINHASH_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.posexplode(band_hashes).alias("b", "bh"))
+
+
+def _lsh_candidates(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from banded signatures with the
+    hot-bucket cap. Kept as the reference formulation (pytest pins
+    `_lsh_pairs_est` equal to it); query paths use `_lsh_pairs_est`,
+    which never materializes the candidate set."""
+    bands = sig.select("doc_id", F.posexplode(_band_hash_arr()).alias("b", "bh"))
     # hot-bucket cap: the windowed count shuffles on exactly the join
     # key (b, bh), so the filter costs no extra exchange and the
     # quadratic self-join below never sees a bucket above the cap
@@ -402,6 +420,41 @@ def _lsh_candidates(sig: DataFrame) -> DataFrame:
         a.join(b, (F.col("a.b") == F.col("b.b")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+    )
+
+
+def _lsh_pairs_est(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, est_jaccard), one row per band collision, NOT
+    deduped — the r10 simhash/phash banded-join shape applied to the
+    MinHash family (r11): signatures RIDE the band rows and the
+    estimator is computed in the join projection, so candidate pairs
+    are never materialized, never shuffled, and never joined back to
+    the signature table (the old shape paid a distinct over the full
+    candidate space plus two signature join-backs). Consumers filter
+    on est_jaccard BEFORE their dropDuplicates, so non-dup collisions
+    die in the streamed join output. est is a pure function of the
+    pair, so every duplicate row carries the identical value and
+    filter/dedup order cannot change results (oracle-pinned; pair-set
+    equality with _lsh_candidates pinned by pytest)."""
+    bands = sig.select("doc_id", "s", F.posexplode(_band_hash_arr()).alias("b", "bh"))
+    # same hot-bucket cap as _lsh_candidates: the window shuffles on
+    # exactly the self-join key; band rows carry the 16-slot signature
+    # (~136 B) through it — linear in corpus, vs the candidate-space
+    # exchanges it removes (quadratic per bucket before the cap).
+    bucket_w = W.partitionBy("b", "bh")
+    bands = bands.withColumn("bsz", F.count(F.lit(1)).over(bucket_w)).filter(
+        F.col("bsz") <= MAX_BAND_BUCKET
+    ).drop("bsz")
+    a, b = bands.alias("a"), bands.alias("b")
+    return a.join(
+        b,
+        (F.col("a.b") == F.col("b.b"))
+        & (F.col("a.bh") == F.col("b.bh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        _sig_est("a.s", "b.s").alias("est_jaccard"),
     )
 
 
@@ -434,16 +487,13 @@ def _lsh_candidates(sig: DataFrame) -> DataFrame:
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_signatures(spark, sf_dir)
-    cand = _lsh_candidates(sig)
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    eq = F.zip_with("s_a", "s_b", lambda x, y: (x == y).cast("int"))
-    est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(NUM_MINHASH)
+    # r11: banded join with the estimator inside (see _lsh_pairs_est) —
+    # the est >= 0.5 filter runs on the streamed join output, so only
+    # actual near-dup pairs reach the dedup exchange.
     return (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        _lsh_pairs_est(sig)
         .filter(F.col("est_jaccard") >= 0.5)
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 
@@ -462,11 +512,20 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             JOIN sig sb ON sb.doc_id = doc_b
         ),
         sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        -- r11: exact-verify side joins on 60-bit md5 gram hashes (8 B
+        -- shuffle keys) instead of ~20-char gram strings — the same
+        -- hashed-gram equality ngram_jaccard_pairs already defines
+        -- (collision-free at 60 bits for any verifiable corpus);
+        -- identical rule in the Spark plan, so the audit's declared
+        -- semantics stay engine-matched.
+        gh AS (SELECT doc_id,
+                      ('0x' || substr(md5(gram), 1, 15))::BIGINT AS h
+               FROM g),
         inter AS (
             SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
             FROM cand c
-            JOIN g a ON a.doc_id = c.doc_a
-            JOIN g b ON b.doc_id = c.doc_b AND b.gram = a.gram
+            JOIN gh a ON a.doc_id = c.doc_a
+            JOIN gh b ON b.doc_id = c.doc_b AND b.h = a.h
             GROUP BY 1, 2
         )
         SELECT e.doc_a, e.doc_b, est_jaccard,
@@ -496,16 +555,11 @@ def minhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dominant cost) runs once, not twice
     g = _reused(_distinct_grams(spark, sf_dir))
     sig = _minhash_signatures(spark, sf_dir, grams=g)
-    cand = _lsh_candidates(sig)
-    sa_sig = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    sb_sig = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    eq = F.zip_with("s_a", "s_b", lambda x, y: (x == y).cast("int"))
-    est_col = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(NUM_MINHASH)
-    est = (
-        cand.join(sa_sig, "doc_a")
-        .join(sb_sig, "doc_b")
-        .select("doc_a", "doc_b", est_col.alias("est_jaccard"))
-    )
+    # r11: banded join with the estimator inside (_lsh_pairs_est); the
+    # deduped pair+est frame feeds BOTH the report and the exact-verify
+    # joins, so it is persisted (candidate-sized — tiny vs the corpus).
+    est = _reused(_lsh_pairs_est(sig).dropDuplicates(["doc_a", "doc_b"]))
+    cand = est.select("doc_a", "doc_b")
     d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
         load_table(spark, sf_dir, "documents"), spark, "doc_id"
     )
@@ -513,11 +567,19 @@ def minhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.size(F.array_distinct(word_ngrams(tokens(F.col("text")), 3))).alias("n"),
     )
-    ga = g.select(F.col("doc_id").alias("doc_a"), "gram")
-    gb = g.select(F.col("doc_id").alias("doc_b2"), F.col("gram").alias("gram2"))
+    # r11 (guide §2.3 shuffle fewer bytes): the exact-intersection joins
+    # carry a 60-bit md5 gram hash (8 B key) instead of the ~20-char
+    # gram string — computed map-side off the persisted gram frame, so
+    # no extra pass. Same hashed-gram equality ngram_jaccard_pairs
+    # defines; the oracle CTE applies the identical rule (lockstep).
+    gh = F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    ga = g.select(F.col("doc_id").alias("doc_a"), gh.alias("h"))
+    gb = g.select(F.col("doc_id").alias("doc_b2"), gh.alias("h2"))
     inter = (
         cand.join(ga, "doc_a")
-        .join(gb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("gram") == F.col("gram2")))
+        .join(gb, (F.col("doc_b") == F.col("doc_b2")) & (F.col("h") == F.col("h2")))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -803,8 +865,7 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sa = allsig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
     sb = allsig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    eq = F.zip_with("s_a", "s_b", lambda x, y: (x == y).cast("int"))
-    est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(NUM_MINHASH)
+    est = _sig_est()
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -948,16 +1009,13 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_signatures(spark, sf_dir)
-    cand = _lsh_candidates(sig)
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    eq = F.zip_with("s_a", "s_b", lambda x, y: (x == y).cast("int"))
-    est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(NUM_MINHASH)
+    # r11: banded join with the estimator inside (_lsh_pairs_est) —
+    # est >= 0.5 drops non-dups in the streamed join output, before the
+    # pair dedup exchange and the source-label joins.
     pairs = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", est.alias("est_jaccard"))
+        _lsh_pairs_est(sig)
         .filter(F.col("est_jaccard") >= 0.5)
+        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b")
     )
     # NO static broadcast hint on the pair side: pairs are SF-scaled

@@ -54,6 +54,30 @@ MAX_ITERATIONS = 50
 from ..functions.text import NORM_SQL as _NORM_SQL  # noqa: E402 — oracle twin of normalize_text
 
 
+def _observed_changed(obs: Observation, checkpointed: DataFrame) -> int:
+    """Read the loop's fused convergence metric with a bounded wait.
+
+    `Observation.get` relies on eager localCheckpoint materializing
+    through `withAction` (which fires the QueryExecutionListener that
+    populates the Observation). That holds on Spark 3.5/4.x but is
+    undocumented; if a future version materializes checkpoints outside
+    the listener path, a bare `obs.get` would hang the loop forever
+    (ADVICE r10). Bounded wait + fall back to the direct count probe —
+    the pre-r10 two-jobs-per-iteration behavior, correct just slower."""
+    from concurrent.futures import ThreadPoolExecutor
+    from concurrent.futures import TimeoutError as _FTimeout
+
+    ex = ThreadPoolExecutor(max_workers=1)
+    try:
+        fut = ex.submit(lambda: obs.get["changed"])
+        try:
+            return int(fut.result(timeout=300.0) or 0)
+        except _FTimeout:
+            return checkpointed.filter(F.col("lbl") != F.col("old_lbl")).count()
+    finally:
+        ex.shutdown(wait=False)
+
+
 def connected_components(
     nodes: DataFrame, edges: DataFrame, max_iterations: int = MAX_ITERATIONS
 ) -> DataFrame:
@@ -110,7 +134,7 @@ def connected_components(
             .observe(obs, F.sum((F.col("lbl") != F.col("old_lbl")).cast("long")).alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = int(obs.get["changed"] or 0)
+        changed = _observed_changed(obs, new_gen)
         # Free the superseded generation. Iteration 1's `gen` is the
         # persist()-ed seed frame, which unpersist() frees directly;
         # every later `gen` is a checkpoint leaf whose cache is
@@ -178,7 +202,7 @@ def connected_components_bipartite(
             .observe(obs, F.sum((F.col("lbl") != F.col("old_lbl")).cast("long")).alias("changed"))
             .localCheckpoint(eager=True)
         )
-        changed = int(obs.get["changed"] or 0)
+        changed = _observed_changed(obs, new_gen)
         # unpersist() frees the persist()-ed seed on iteration 1; later
         # generations are checkpoint leaves freed by reference drop +
         # ContextCleaner (see connected_components / module doc)

@@ -280,7 +280,11 @@ def load_lm_model(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
 
 
 def lm_doc_scores(
-    docs: DataFrame, c12: DataFrame, c1: DataFrame, vctx: int
+    docs: DataFrame,
+    c12: DataFrame,
+    c1: DataFrame,
+    vctx: int | None,
+    vctx_df: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc integer-bits surprisal of `docs` (doc_id, source, text)
     against the FROZEN counts tables: (doc_id, source, split,
@@ -312,9 +316,19 @@ def lm_doc_scores(
     # small at test SF (AQE broadcasts them on its own) but a 100 TB
     # corpus's bigram vocabulary can exceed the broadcast budget, and
     # then the right plan is a hash join on the 60-bit key.
+    # vctx arrives either as a python int (frozen snapshot path — the
+    # scalar is one stored row) or as a 1-row aggregate frame riding a
+    # broadcast cross-join (incremental path, r11: fuses the derived
+    # context-vocabulary count into the scoring job — no separate
+    # count() pass; the bigram_lm_score pattern).
+    scored = stream.join(c12, "gh", "left").join(c1, "ph", "left")
+    if vctx_df is not None:
+        scored = scored.crossJoin(F.broadcast(vctx_df))
+        vctx_col = F.col("vctx")
+    else:
+        vctx_col = F.lit(vctx)
     scored = (
-        stream.join(c12, "gh", "left")
-        .join(c1, "ph", "left")
+        scored
         .select(
             "doc_id",
             "source",
@@ -322,7 +336,7 @@ def lm_doc_scores(
             F.length(F.bin(F.coalesce(F.col("c12"), F.lit(0)) + 1))
             .cast("bigint")
             .alias("lo_bits"),
-            F.length(F.bin(F.coalesce(F.col("c1"), F.lit(0)) + F.lit(vctx)))
+            F.length(F.bin(F.coalesce(F.col("c1"), F.lit(0)) + vctx_col))
             .cast("bigint")
             .alias("hi_bits"),
         )
@@ -475,13 +489,30 @@ def incremental_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         _incr_bucket(F.col("doc_id")) >= INCR_DELTA_FROM
     )
     fresh = _train_counts(delta_stream)
-    c12, c1 = _folded_model(corpus_counts.unionByName(fresh))
     from ..registry import track_persist
 
-    c1 = track_persist(c1)
-    vctx = c1.count()  # one bounded scalar — the derived context vocabulary
+    # r11 (guide §1.2 remove passes): persist the FOLDED counts frame —
+    # the shared base of c12, c1 AND the vocab count — so the delta
+    # tokenize + fold runs once (previously c1 was persisted but c12
+    # re-derived the whole fold, and a separate count() job paid a
+    # third pass). The context vocabulary rides the scoring job as a
+    # 1-row broadcast aggregate (vctx_df), so the query is ONE job.
+    summed = track_persist(
+        corpus_counts.unionByName(fresh)
+        .groupBy("kind", "key")
+        .agg(F.sum("cnt").cast("bigint").alias("cnt"))
+    )
+    c12 = summed.filter(F.col("kind") == "g").select(
+        F.col("key").alias("gh"), F.col("cnt").alias("c12")
+    )
+    c1 = summed.filter(F.col("kind") == "p").select(
+        F.col("key").alias("ph"), F.col("cnt").alias("c1")
+    )
+    vn = c1.agg(F.count(F.lit(1)).cast("bigint").alias("vctx"))
     d = spread_scan(load_table(spark, sf_dir, "documents"), spark, "doc_id")
-    docbits = lm_doc_scores(d.select("doc_id", "source", "text"), c12, c1, vctx)
+    docbits = lm_doc_scores(
+        d.select("doc_id", "source", "text"), c12, c1, None, vctx_df=vn
+    )
     return (
         docbits.groupBy("source", "split")
         .agg(

@@ -1044,6 +1044,12 @@ def ahash60_of_bmp(payload: bytes) -> int:
     compression = struct.unpack_from("<I", payload, 30)[0]
     if bpp != 24 or compression != 0:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={compression}")
+    # r11 (ADVICE): the direct-offset sampler applies scale=8/w to BOTH
+    # axes, which is only the decode_bmp+resize_nearest equivalent for
+    # square grids >= 8px; keep malformed inputs loud instead of
+    # returning a clamped, silently wrong hash (codec-path strictness).
+    if w != h or w < 8:
+        raise ValueError(f"ahash60_of_bmp expects a square BMP >= 8px, got {w}x{h}")
     row_size = (3 * w + 3) // 4 * 4
     scale = 8.0 / w
     lumas = []

@@ -523,14 +523,24 @@ from .dedup import _MINHASH_CAND_SQL  # noqa: E402 — shared oracle CTE chain
     tags=("text", "dedup", "lsh", "sampling", "extension"),
 )
 def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import _lsh_candidates, _minhash_signatures
+    from .dedup import _lsh_pairs_est, _minhash_signatures
 
     sig = _minhash_signatures(spark, sf_dir)
-    cand = _lsh_candidates(sig)
+    # r11: banded join with the estimator inside (dedup._lsh_pairs_est)
+    # — the est threshold drops non-dups in the streamed join output,
+    # before the pair dedup exchange and the split-label joins (the
+    # old shape shuffled the full candidate space through a distinct
+    # plus two signature join-backs). est is pair-deterministic, so
+    # filtering before the dedup/split joins cannot change results.
+    pairs = (
+        _lsh_pairs_est(sig)
+        .filter(F.col("est_jaccard") >= FUZZY_DECON_EST_JACCARD)
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
     d = load_table(spark, sf_dir, "documents")
     splits = d.select("doc_id", _split_col().alias("split"))
     crossed = (
-        cand.join(
+        pairs.join(
             splits.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a")),
             "doc_a",
         )
@@ -543,23 +553,16 @@ def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             | ((F.col("split_a") == "test") & (F.col("split_b") == "train"))
         )
     )
-    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
-    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
-    eq = F.zip_with("s_a", "s_b", lambda x, y: (x == y).cast("int"))
-    est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(_NUM_MINHASH)
     return (
-        crossed.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
+        crossed.select(
             F.when(F.col("split_a") == "test", F.col("doc_a"))
             .otherwise(F.col("doc_b"))
             .alias("test_doc"),
             F.when(F.col("split_a") == "test", F.col("doc_b"))
             .otherwise(F.col("doc_a"))
             .alias("train_doc"),
-            est.alias("est_jaccard"),
+            "est_jaccard",
         )
-        .filter(F.col("est_jaccard") >= FUZZY_DECON_EST_JACCARD)
         .orderBy("test_doc", "train_doc")
     )
 

@@ -442,16 +442,30 @@ def segment_event_value_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def blamed_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load_table(spark, sf_dir, "lineitem")
-    ret = F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
-    per_order = l.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supps"),
-        F.countDistinct(ret).alias("n_ret"),
+    # r11 (guide §2.3 aggregate before you shuffle): the old plan's two
+    # COUNT(DISTINCT ...) in one aggregate planned an Expand that
+    # multiplied every lineitem row 3x before the exchange, and the
+    # returned-pairs side re-scanned lineitem for a separate distinct.
+    # Both reduce to ONE (l_orderkey, l_suppkey) pair dedup with a
+    # has_ret flag (partial-agged map-side): n_supps = pairs per order,
+    # n_ret = flagged pairs per order, r = flagged pairs. The two
+    # consumers shuffle identically, so Spark reuses the exchange —
+    # one pass over lineitem, no Expand. count("l_suppkey") keeps
+    # COUNT(DISTINCT)'s NULL exclusion.
+    p = (
+        l.select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_returnflag") == "R").alias("r"),
+        )
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("r").alias("has_ret"))
     )
-    r = (
-        l.filter(F.col("l_returnflag") == "R")
-        .select("l_orderkey", "l_suppkey")
-        .distinct()
+    per_order = p.groupBy("l_orderkey").agg(
+        F.count("l_suppkey").alias("n_supps"),
+        F.count(F.when(F.col("has_ret"), F.col("l_suppkey"))).alias("n_ret"),
     )
+    r = p.filter(F.col("has_ret")).select("l_orderkey", "l_suppkey")
     return (
         r.join(per_order, "l_orderkey")
         .filter((F.col("n_supps") >= 2) & (F.col("n_ret") == 1))

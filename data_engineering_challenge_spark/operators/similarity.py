@@ -27,7 +27,16 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table, spread_scan
-from ..functions.vectors import as_double, cosine, dot, hyperplanes, norm
+from ..functions.vectors import (
+    as_double,
+    cosine,
+    dot,
+    dot_named,
+    dot_sql,
+    hyperplanes,
+    norm,
+    norm_named,
+)
 from ..registry import register, track_persist
 
 QUERY_MOD = 50  # vec_id % 50 == 0 → the query subset
@@ -109,8 +118,13 @@ def _emb_with_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster scale (see catalog.spread_scan)
     e = spread_scan(load_table(spark, sf_dir, "embeddings"), spark, "vec_id")
     v = as_double(F.col("embedding"))
+    # r11: staged projection — norm() reads the materialized `v`
+    # attribute instead of re-deriving the cast per sibling expression
+    # (Catalyst does not CSE sibling chains; same rule as lang_id).
     return track_persist(
-        e.select("vec_id", v.alias("v"), norm(v).alias("nrm")),
+        e.select("vec_id", v.alias("v")).select(
+            "vec_id", "v", norm(F.col("v")).alias("nrm")
+        ),
         StorageLevel.MEMORY_AND_DISK,
     )
 
@@ -869,6 +883,15 @@ def _pq_l2_col(a: F.Column, b: F.Column) -> F.Column:
     )
 
 
+def _pq_l2_named(a: str, b: str, dim: int = PQ_SUBDIM) -> F.Column:
+    """Unrolled twin of :func:`_pq_l2_col` (r11, see vectors.dot_named):
+    identical left-assoc op order, whole-stage-codegen-able."""
+    expr = "0.0D"
+    for i in range(dim):
+        expr = f"({expr} + (({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])))"
+    return F.expr(expr)
+
+
 def _pq_subs(vec: F.Column) -> F.Column:
     """Array of PQ_SUBSPACES contiguous PQ_SUBDIM-dim slices."""
     return F.array(
@@ -913,7 +936,7 @@ def _pq_encode(e: DataFrame, codebook: DataFrame) -> DataFrame:
     esub = e.select(
         "vec_id", F.posexplode(_pq_subs(F.col("v"))).alias("s0", "sub")
     ).select((F.col("s0") + 1).alias("s"), "vec_id", "sub")
-    d = _pq_l2_col(F.col("sub"), F.col("cvec"))
+    d = _pq_l2_named("sub", "cvec")
     return (
         esub.join(F.broadcast(codebook), "s")
         .select("vec_id", "s", "code", d.alias("d"))
@@ -946,7 +969,7 @@ def _pq_query_luts(e: DataFrame, codebook: DataFrame) -> DataFrame:
         "query_id", F.posexplode(_pq_subs(F.col("v"))).alias("s0", "qs")
     ).select((F.col("s0") + 1).alias("s"), "query_id", "qs")
     qp = qsub.join(F.broadcast(codebook), "s").select(
-        "query_id", "s", "code", dot(F.col("qs"), F.col("cvec")).alias("p")
+        "query_id", "s", "code", dot_named("qs", "cvec", PQ_SUBDIM).alias("p")
     )
     qs_ = qp.groupBy("query_id", "s").agg(
         F.transform(
@@ -1523,7 +1546,7 @@ def truncated_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_with_norm(spark, sf_dir)
     v16 = F.slice(F.col("v"), 1, TRUNC_DIM)
     et = e.select("vec_id", "v", "nrm", v16.alias("v16")).select(
-        "vec_id", "v", "nrm", "v16", norm(F.col("v16")).alias("nrm16")
+        "vec_id", "v", "nrm", "v16", norm_named("v16", TRUNC_DIM).alias("nrm16")
     )
     q = et.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -1537,7 +1560,7 @@ def truncated_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("sim_full"),
         (
-            dot(F.col("qv16"), F.col("v16")) / (F.col("qn16") * F.col("nrm16"))
+            dot_named("qv16", "v16", TRUNC_DIM) / (F.col("qn16") * F.col("nrm16"))
         ).alias("sim_trunc"),
     )
     scored = track_persist(scored, StorageLevel.MEMORY_AND_DISK)

@@ -71,33 +71,55 @@ _BOUND = 0.05  # acceptance gate, >5 sigma for both engines
     tags=("sketch", "profiling", "extension"),
 )
 def approx_distinct_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # One column-pruned DISTINCT per column, with BOTH the exact count
-    # and the HLL estimate read off the deduplicated stream. Two wins
-    # over a single multi-distinct agg: (a) no Expand — N distinct
-    # aggregates in one agg multiply every scanned row N+1 times before
-    # the exchange (measured 2.4x slower at sf0.1); (b) HLL registers
-    # are a pure function of the value SET, so sketching after distinct
-    # yields the bit-identical estimate while the map-side partial
-    # distinct collapses the shuffle to unique values per partition.
+    # One DISTINCT stream for ALL profiled columns, with BOTH the exact
+    # count and the HLL estimate read off it. Three design points:
+    # (a) no Expand — N distinct aggregates in one agg multiply every
+    # scanned row N+1 times before the exchange (measured 2.4x slower
+    # at sf0.1); (b) HLL registers are a pure function of the value
+    # SET, so sketching after distinct yields the identical estimate
+    # while the map-side partial distinct collapses the shuffle to
+    # unique values per partition; (c) r11 (guide §1.2 remove passes):
+    # the profiled columns ride ONE scan per table as exploded
+    # (column_name, value-as-string) rows instead of one scan + one
+    # aggregation branch per column — 4 scans / 8 exchanges / 4 job
+    # floors collapse to 2 scans / 2 exchanges / 1 job. The string
+    # cast is injective per column (BIGINT keys render uniquely), so
+    # exact_distinct is unchanged; the engine's own HLL estimate hashes
+    # strings instead of longs — a different but equally-rsd=0.01
+    # estimate, gated by the same 5% bound it always was (verified
+    # true at sf0.001..sf10; the bound is the declared contract, the
+    # register values never were).
     parts = []
     for table, cols in _COLS.items():
         df = load_table(spark, sf_dir, table)
-        for c in cols:
-            parts.append(
-                df.select(c)
-                .distinct()
-                .agg(
-                    # count(col), not count(1): the distinct stream keeps a
-                    # NULL row if the column is nullable, and COUNT(DISTINCT)
-                    # / the DuckDB oracle exclude NULL — count(col) matches
-                    F.count(F.col(c)).alias("exact_distinct"),
-                    F.approx_count_distinct(c, _RSD).alias("approx"),
+        stacked = df.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(f"{table}.{c}").alias("column_name"),
+                            F.col(c).cast("string").alias("v"),
+                        )
+                        for c in cols
+                    ]
                 )
-                .select(F.lit(f"{table}.{c}").alias("column_name"), "exact_distinct", "approx")
-            )
+            ).alias("x")
+        ).select("x.column_name", "x.v")
+        parts.append(stacked)
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
+    out = (
+        out.distinct()
+        .groupBy("column_name")
+        .agg(
+            # count(v), not count(1): the distinct stream keeps a NULL
+            # row if the column is nullable, and COUNT(DISTINCT) / the
+            # DuckDB oracle exclude NULL — count(v) matches
+            F.count(F.col("v")).alias("exact_distinct"),
+            F.approx_count_distinct("v", _RSD).alias("approx"),
+        )
+    )
     return out.select(
         "column_name",
         "exact_distinct",

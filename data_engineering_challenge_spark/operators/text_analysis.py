@@ -250,11 +250,15 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
         load_table(spark, sf_dir, "documents"), spark, "doc_id"
     )
-    bpe = F.regexp_extract_all(F.col("text"), F.lit(BPE_ISH_PATTERN), 0)
+    # r11: count matches with regexp_count — same regex pass, but no
+    # materialization of the match array just to take its size
+    # (regexp_extract_all allocates every matched substring; the count
+    # is all this column needs). Same non-overlapping match semantics.
+    bpe_n = F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
     bpe_lower = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), 0)
     return d.select(
         "doc_id",
-        F.size(bpe).alias("n_bpe_tokens"),
+        bpe_n.alias("n_bpe_tokens"),
         F.size(F.array_distinct(bpe_lower)).alias("n_unique_bpe_tokens"),
         F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
     ).orderBy("doc_id")

@@ -489,8 +489,9 @@ def landing_dedup_transform(
         F.col("s").alias("s_b"),
         F.posexplode(_band_hashes_col()).alias("b", "bh"),
     )
-    eq = F.zip_with("s_a", "s_b", lambda x, y: (x == y).cast("int"))
-    est = F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / float(NUM_MINHASH)
+    from ..operators.dedup import _sig_est
+
+    est = _sig_est()  # unrolled codegen estimator (r11, see dedup._sig_est)
     return (
         # SHUFFLE_HASH on the micro-batch side: the hash map builds on
         # the (tiny) delta batch and PROBES the pre-partitioned cached

@@ -229,6 +229,7 @@ _BNLJ_BY_DESIGN = {
     "int8_quantization_audit",  # 1-row per-dim min/scale bounds frame
     "source_token_drift",     # broadcast top-100 / 1-row N frames x |sources| rollup
     "bigram_lm_score",        # 1-row context-vocabulary (V) frame
+    "incremental_lm_score",   # 1-row context-vocabulary (V) frame (r11)
 }
 
 
