@@ -404,9 +404,12 @@ def _band_hash_arr() -> F.Column:
 
 def _lsh_candidates(sig: DataFrame) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from banded signatures with the
-    hot-bucket cap. Kept as the reference formulation (pytest pins
-    `_lsh_pairs_est` equal to it); query paths use `_lsh_pairs_est`,
-    which never materializes the candidate set."""
+    hot-bucket cap — the shared head of every MinHash consumer. r11
+    measured the alternative `_lsh_pairs_est` (estimator streamed
+    through the band join, no candidate materialization) SLOWER at
+    sf1 (+24-28%) and sf10 (+3-5%): carrying the 16-slot signature
+    through the bucket-cap window's sort+shuffle costs more than the
+    two narrow join-backs it saves. Query paths use this shape."""
     bands = sig.select("doc_id", F.posexplode(_band_hash_arr()).alias("b", "bh"))
     # hot-bucket cap: the windowed count shuffles on exactly the join
     # key (b, bh), so the filter costs no extra exchange and the
@@ -426,16 +429,16 @@ def _lsh_candidates(sig: DataFrame) -> DataFrame:
 def _lsh_pairs_est(sig: DataFrame) -> DataFrame:
     """(doc_a, doc_b, est_jaccard), one row per band collision, NOT
     deduped — the r10 simhash/phash banded-join shape applied to the
-    MinHash family (r11): signatures RIDE the band rows and the
-    estimator is computed in the join projection, so candidate pairs
-    are never materialized, never shuffled, and never joined back to
-    the signature table (the old shape paid a distinct over the full
-    candidate space plus two signature join-backs). Consumers filter
-    on est_jaccard BEFORE their dropDuplicates, so non-dup collisions
-    die in the streamed join output. est is a pure function of the
-    pair, so every duplicate row carries the identical value and
-    filter/dedup order cannot change results (oracle-pinned; pair-set
-    equality with _lsh_candidates pinned by pytest)."""
+    MinHash family: signatures RIDE the band rows and the estimator is
+    computed in the join projection, so candidate pairs are never
+    materialized, never shuffled, and never joined back to the
+    signature table. MEASURED SLOWER than _lsh_candidates + join-backs
+    at sf1 (+24-28%) and sf10 (+3-5%) — the signature array through
+    the bucket-cap window's sort+shuffle costs more than it saves —
+    so NO query path uses it (r11). Kept as the documented
+    alternative (pair-set equality with _lsh_candidates pinned by
+    pytest) for corpora where band collisions are dominated by
+    non-dups the est filter could drop pre-exchange."""
     bands = sig.select("doc_id", "s", F.posexplode(_band_hash_arr()).alias("b", "bh"))
     # same hot-bucket cap as _lsh_candidates: the window shuffles on
     # exactly the self-join key; band rows carry the 16-slot signature
@@ -487,13 +490,21 @@ def _lsh_pairs_est(sig: DataFrame) -> DataFrame:
 )
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_signatures(spark, sf_dir)
-    # r11: banded join with the estimator inside (see _lsh_pairs_est) —
-    # the est >= 0.5 filter runs on the streamed join output, so only
-    # actual near-dup pairs reach the dedup exchange.
+    # r11 measured BOTH pair shapes and kept this one: the banded join
+    # with the estimator inside (_lsh_pairs_est) carries the 16-slot
+    # signature through the hot-bucket-cap window's sort+shuffle and
+    # ran 28% SLOWER at sf1 (3.44 -> 4.42 s min-of-3) and ~3% slower
+    # at sf10 (24.36 -> 25.01 s) than materialized candidates + two
+    # signature join-backs. The estimator itself stays the unrolled
+    # codegen sum (_sig_est, bit-identical to the zip_with fold).
+    cand = _lsh_candidates(sig)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     return (
-        _lsh_pairs_est(sig)
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", _sig_est().alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
-        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
 
@@ -555,10 +566,20 @@ def minhash_precision_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dominant cost) runs once, not twice
     g = _reused(_distinct_grams(spark, sf_dir))
     sig = _minhash_signatures(spark, sf_dir, grams=g)
-    # r11: banded join with the estimator inside (_lsh_pairs_est); the
-    # deduped pair+est frame feeds BOTH the report and the exact-verify
+    # r11 kept the materialized-candidates shape after measuring the
+    # banded-estimator join slower here (sf1 5.67 -> 7.05 s, sf10
+    # 58.8 -> 61.7 s — the 16-slot signature rides the bucket-cap
+    # window's sort+shuffle); the estimator is the unrolled _sig_est.
+    # The pair+est frame feeds BOTH the report and the exact-verify
     # joins, so it is persisted (candidate-sized — tiny vs the corpus).
-    est = _reused(_lsh_pairs_est(sig).dropDuplicates(["doc_a", "doc_b"]))
+    cand0 = _lsh_candidates(sig)
+    sa_sig = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb_sig = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
+    est = _reused(
+        cand0.join(sa_sig, "doc_a")
+        .join(sb_sig, "doc_b")
+        .select("doc_a", "doc_b", _sig_est().alias("est_jaccard"))
+    )
     cand = est.select("doc_a", "doc_b")
     d = spread_scan(  # single-file scan at test SFs: see catalog.spread_scan
         load_table(spark, sf_dir, "documents"), spark, "doc_id"
@@ -1009,13 +1030,17 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = _minhash_signatures(spark, sf_dir)
-    # r11: banded join with the estimator inside (_lsh_pairs_est) —
-    # est >= 0.5 drops non-dups in the streamed join output, before the
-    # pair dedup exchange and the source-label joins.
+    # r11 measured the banded-estimator join slower than materialized
+    # candidates + signature join-backs at every SF it could run (see
+    # minhash_lsh_pairs) — kept the candidate shape, unrolled _sig_est.
+    cand = _lsh_candidates(sig)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     pairs = (
-        _lsh_pairs_est(sig)
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", _sig_est().alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= 0.5)
-        .dropDuplicates(["doc_a", "doc_b"])
         .select("doc_a", "doc_b")
     )
     # NO static broadcast hint on the pair side: pairs are SF-scaled

@@ -523,19 +523,21 @@ from .dedup import _MINHASH_CAND_SQL  # noqa: E402 — shared oracle CTE chain
     tags=("text", "dedup", "lsh", "sampling", "extension"),
 )
 def fuzzy_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .dedup import _lsh_pairs_est, _minhash_signatures
+    from .dedup import _lsh_candidates, _minhash_signatures, _sig_est
 
     sig = _minhash_signatures(spark, sf_dir)
-    # r11: banded join with the estimator inside (dedup._lsh_pairs_est)
-    # — the est threshold drops non-dups in the streamed join output,
-    # before the pair dedup exchange and the split-label joins (the
-    # old shape shuffled the full candidate space through a distinct
-    # plus two signature join-backs). est is pair-deterministic, so
-    # filtering before the dedup/split joins cannot change results.
+    # r11 measured the banded-estimator join (dedup._lsh_pairs_est)
+    # slower than materialized candidates + signature join-backs at
+    # sf1 and sf10 (see minhash_lsh_pairs) — kept the candidate shape;
+    # the estimator is the unrolled codegen _sig_est.
+    cand = _lsh_candidates(sig)
+    sa = sig.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("s_a"))
+    sb = sig.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("s_b"))
     pairs = (
-        _lsh_pairs_est(sig)
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", _sig_est().alias("est_jaccard"))
         .filter(F.col("est_jaccard") >= FUZZY_DECON_EST_JACCARD)
-        .dropDuplicates(["doc_a", "doc_b"])
     )
     d = load_table(spark, sf_dir, "documents")
     splits = d.select("doc_id", _split_col().alias("split"))
