@@ -27,16 +27,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from ..catalog import load_table, spread_scan
-from ..functions.vectors import (
-    as_double,
-    cosine,
-    dot,
-    dot_named,
-    dot_sql,
-    hyperplanes,
-    norm,
-    norm_named,
-)
+from ..functions.vectors import as_double, cosine, dot, hyperplanes, norm
 from ..registry import register, track_persist
 
 QUERY_MOD = 50  # vec_id % 50 == 0 → the query subset
@@ -884,8 +875,12 @@ def _pq_l2_col(a: F.Column, b: F.Column) -> F.Column:
 
 
 def _pq_l2_named(a: str, b: str, dim: int = PQ_SUBDIM) -> F.Column:
-    """Unrolled twin of :func:`_pq_l2_col` (r11, see vectors.dot_named):
-    identical left-assoc op order, whole-stage-codegen-able."""
+    """Unrolled twin of :func:`_pq_l2_col` (see vectors.dot_named):
+    identical left-assoc op order. UNUSED by query paths — r11 measured
+    it 2.5-4x SLOWER at sf10 inside the PQ encode/LUT joins (16 dims
+    of unrolled multiply-adds plus the join's own codegen exceeds the
+    JIT method budget; ann_ivfpq_topk 6.9 -> 29.9 s). Kept, with its
+    bit-identity test, as the documented negative result."""
     expr = "0.0D"
     for i in range(dim):
         expr = f"({expr} + (({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])))"
@@ -936,7 +931,11 @@ def _pq_encode(e: DataFrame, codebook: DataFrame) -> DataFrame:
     esub = e.select(
         "vec_id", F.posexplode(_pq_subs(F.col("v"))).alias("s0", "sub")
     ).select((F.col("s0") + 1).alias("s"), "vec_id", "sub")
-    d = _pq_l2_named("sub", "cvec")
+    # r11: the unrolled 16-dim L2 (_pq_l2_named) measured 2.5-4x
+    # SLOWER at sf10 (ann_pq_topk 7.6 -> 19.3 s, ann_ivfpq 6.9 -> 29.9 s,
+    # pq_recon 2.3 -> 9.0 s): 16 dims sits past the JIT method budget
+    # once the encode join's surrounding codegen is added. Fold kept.
+    d = _pq_l2_col(F.col("sub"), F.col("cvec"))
     return (
         esub.join(F.broadcast(codebook), "s")
         .select("vec_id", "s", "code", d.alias("d"))
@@ -969,7 +968,7 @@ def _pq_query_luts(e: DataFrame, codebook: DataFrame) -> DataFrame:
         "query_id", F.posexplode(_pq_subs(F.col("v"))).alias("s0", "qs")
     ).select((F.col("s0") + 1).alias("s"), "query_id", "qs")
     qp = qsub.join(F.broadcast(codebook), "s").select(
-        "query_id", "s", "code", dot_named("qs", "cvec", PQ_SUBDIM).alias("p")
+        "query_id", "s", "code", dot(F.col("qs"), F.col("cvec")).alias("p")
     )
     qs_ = qp.groupBy("query_id", "s").agg(
         F.transform(
@@ -1546,7 +1545,7 @@ def truncated_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb_with_norm(spark, sf_dir)
     v16 = F.slice(F.col("v"), 1, TRUNC_DIM)
     et = e.select("vec_id", "v", "nrm", v16.alias("v16")).select(
-        "vec_id", "v", "nrm", "v16", norm_named("v16", TRUNC_DIM).alias("nrm16")
+        "vec_id", "v", "nrm", "v16", norm(F.col("v16")).alias("nrm16")
     )
     q = et.filter(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -1560,7 +1559,7 @@ def truncated_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("neighbor_id"),
         (dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))).alias("sim_full"),
         (
-            dot_named("qv16", "v16", TRUNC_DIM) / (F.col("qn16") * F.col("nrm16"))
+            dot(F.col("qv16"), F.col("v16")) / (F.col("qn16") * F.col("nrm16"))
         ).alias("sim_trunc"),
     )
     scored = track_persist(scored, StorageLevel.MEMORY_AND_DISK)

@@ -187,6 +187,33 @@ def run_all(
     sec, state = drive_distributed_sink(ld, "append")
     results["landing_dedup"] = {"sec": sec, "events_per_sec": round(n_docs / sec), "state": state}
 
+    # landing-zone image / audio fingerprint filters (r10 queries, r11
+    # stream-bench coverage): the same doc drop through the
+    # stream-static band join against the frozen phash / wavhash
+    # indexes (index builds untimed setup — the nightly shape). The
+    # static side is persisted pre-partitioned on the band key inside
+    # the transform; state telemetry covers the output-bounded
+    # same-batch dropDuplicates.
+    from data_engineering_challenge_spark.operators.multimodal import (
+        build_phash_index,
+        build_wavhash_index,
+        landing_phash_transform,
+        landing_wavhash_transform,
+        phash_index_dir,
+        wavhash_index_dir,
+    )
+
+    for nm, build_fn, dir_fn, transform in (
+        ("landing_phash", build_phash_index, phash_index_dir, landing_phash_transform),
+        ("landing_wavhash", build_wavhash_index, wavhash_index_dir, landing_wavhash_transform),
+    ):
+        fidx = dir_fn(sf_dir)
+        if not os.path.exists(os.path.join(fidx, "manifest.json")):
+            build_fn(spark, sf_dir, fidx)
+        fp = transform(spark, sf_dir, read_drop_stream(spark, ddrop))
+        sec, state = drive_distributed_sink(fp, "append")
+        results[nm] = {"sec": sec, "events_per_sec": round(n_docs / sec), "state": state}
+
     # landing-zone exact-SPAN filter: same doc drop through the
     # foreachBatch probe against the frozen gram-postings index
     # (index build untimed — the nightly shape)
