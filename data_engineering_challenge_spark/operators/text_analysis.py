@@ -71,6 +71,10 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("t")).alias("n_unique_tokens"),
         "n_chars_norm",
     ).orderBy("doc_id")
+    # r11: the persist-before-sort treatment (see bpe_token_counts) was
+    # measured HERE at sf10 and reverted: 4.93 s bare vs 6.52 s with
+    # the persist — this child (one split + array_distinct) is cheaper
+    # to recompute in the sort's sample job than to cache.
 
 
 @register(
@@ -112,7 +116,7 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct("t")).alias("n_unique"),
         count_in_set(F.col("t"), STOPWORDS).alias("n_stop"),
     )
-    return t.select(
+    out = t.select(
         "doc_id",
         "n_chars",
         "n_tokens",
@@ -125,7 +129,11 @@ def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tokens").between(5, 500)
             & (F.col("n_unique") / F.col("n_tokens") > 0.2)
         ).alias("quality_ok"),
-    ).orderBy("doc_id")
+    )
+    # r11: ledgered persist before the sort — the range-partitioner
+    # sample job re-executes the map-only child (see bpe_token_counts,
+    # measured 45.1 -> 25.1 s at sf10); the cached frame is narrow.
+    return track_persist(out).orderBy("doc_id")
 
 
 def _lang_case_sql() -> str:
@@ -178,11 +186,15 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         for o in langs[i + 1 :]:
             cond = cond & (F.col(f"c_{lang}") >= F.col(f"c_{o}"))
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
-    return c.select(
+    out = c.select(
         "doc_id",
         pred.alias("predicted_lang"),
         (pred == F.col("lang")).alias("agrees_with_label"),
-    ).orderBy("doc_id")
+    )
+    # r11: ledgered persist before the sort — the range-partitioner
+    # sample job re-executes the map-only child (see bpe_token_counts,
+    # measured 45.1 -> 25.1 s at sf10); the cached frame is narrow.
+    return track_persist(out).orderBy("doc_id")
 
 
 @register(
@@ -214,13 +226,19 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sequence(F.lit(1), F.length("norm") - 7),
         lambda i: F.md5(F.col("norm").substr(i, F.lit(8)).cast("binary")),
     )
-    return n.select(
+    out = n.select(
         "doc_id",
         F.md5(F.col("norm").cast("binary")).alias("exact_fp"),
         F.when(F.length("norm") >= 8, F.array_min(shingle_hashes))
         .otherwise(F.md5(F.col("norm").cast("binary")))
         .alias("min_shingle_fp"),
-    ).orderBy("doc_id")
+    )
+    # r11: ledgered persist before the sort — see bpe_token_counts;
+    # the per-char shingle-md5 pass is the expensive map-only child
+    # the bare sort's sample job re-executes.
+    from ..registry import track_persist
+
+    return track_persist(out).orderBy("doc_id")
 
 
 # GPT-2-pre-tokenizer-ish: runs of alphanumerics, or a single
@@ -256,12 +274,25 @@ def bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # is all this column needs). Same non-overlapping match semantics.
     bpe_n = F.regexp_count(F.col("text"), F.lit(BPE_ISH_PATTERN))
     bpe_lower = F.regexp_extract_all(F.lower(F.col("text")), F.lit(BPE_ISH_PATTERN), 0)
-    return d.select(
+    out = d.select(
         "doc_id",
         bpe_n.alias("n_bpe_tokens"),
         F.size(F.array_distinct(bpe_lower)).alias("n_unique_bpe_tokens"),
         F.size(tokens(F.col("text"))).alias("n_ws_tokens"),
-    ).orderBy("doc_id")
+    )
+    # r11 (guide §2.4 / VERDICT #8): the global sort's range-partitioner
+    # SAMPLE job re-executes its child — here the full 3-regex pass over
+    # every document ran TWICE (measured at sf10: 45.1 s with the bare
+    # orderBy, 23.3 s without one; a pre-sort repartition does NOT help,
+    # the optimizer elides it as redundant over the spread_scan
+    # partitioning and the regex project stays glued to the sort's
+    # input). Persisting the narrow projection (doc_id + 3 ints) lets
+    # the sample job materialize the cache and the sort re-read it —
+    # the regex pass runs once. Ledgered persist (registry pattern),
+    # order unchanged (doc_id unique, the range sort is total).
+    from ..registry import track_persist
+
+    return track_persist(out).orderBy("doc_id")
 
 
 @register(
@@ -360,6 +391,9 @@ def stable_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(bucket < 8, "train").when(bucket == 8, "val").otherwise("test")
     )
     return d.select("doc_id", split.alias("split")).orderBy("doc_id")
+    # r11: persist-before-sort measured here at sf10 and reverted
+    # (2.47 s bare vs 2.84 s with it — one md5 per row is cheaper to
+    # recompute than to cache; see bpe_token_counts for the keep case).
 
 
 @register(

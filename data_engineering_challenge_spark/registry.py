@@ -52,11 +52,12 @@ def register(
 # A correctness harness that samples a prefix of the registry (the
 # driver checks the first ~50) must see the queries with the least
 # accumulated evidence first. Rotated each round; round 11 fronts the
-# 27 queries whose code or oracle changed THIS round (the
+# 30 queries whose code or oracle changed THIS round (the
 # minhash-family pair machinery and its rewritten precision-audit
 # oracle CTE, the CC-loop observed-read fallback, the single-pass
 # LM/Q21/distinct-audit rewrites, and the unrolled small-dim vector
-# folds), then the r8-era cohort whose newest driver rows are three
+# folds, and the persist-before-sort tail fixes), then the r8-era
+# cohort whose newest driver rows are three
 # rounds old (the r10 prefix stopped before reaching them). Pure
 # iteration order — membership and semantics are unchanged.
 _DRIVER_PRIORITY: tuple[str, ...] = (
@@ -72,6 +73,9 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "blamed_suppliers",
     "approx_distinct_check",
     "bpe_token_counts",
+    "doc_quality",
+    "lang_id",
+    "doc_fingerprint",
     "ann_pq_topk",
     "pq_reconstruction_error",
     "ann_ivfpq_topk",
@@ -145,9 +149,6 @@ _DRIVER_PRIORITY: tuple[str, ...] = (
     "bpe_learn",
     "bmp_roundtrip_audit",
     "vocab_coverage_audit",
-    "doc_quality",
-    "lang_id",
-    "doc_fingerprint",
     "doc_sentences",
     "stable_split",
     "tfidf_top_terms",

@@ -140,29 +140,38 @@ ROCKSDB_PROVIDER = (
 
 
 def run_all(
-    spark: SparkSession, sf_dir: str, chunks: int, drop: str, n_rows: int
+    spark: SparkSession, sf_dir: str, chunks: int, drop: str, n_rows: int,
+    only: set[str] | None = None,
 ) -> dict[str, dict]:
-    """One full pass over the five pipelines with whatever state-store
-    provider the session currently configures."""
+    """One full pass over the pipelines with whatever state-store
+    provider the session currently configures. `only` restricts to a
+    named subset (focused big-SF probes — the bench ONLY pattern);
+    every selected pipeline still reports, nothing is silently capped."""
     results: dict[str, dict] = {}
 
-    agg = P.hourly_counts_transform(read_drop_stream(spark, drop))
-    sec, state = drive(agg, f"sb_hourly_{time.monotonic_ns()}", "complete")
-    results["hourly_agg"] = {"sec": sec, "events_per_sec": round(n_rows / sec), "state": state}
+    def want(name: str) -> bool:
+        return only is None or name in only
 
-    dedup = (
-        read_drop_stream(spark, drop)
-        .withWatermark("ts", P.WATERMARK)
-        .dropDuplicates(["event_id"])
-        .groupBy()  # reduce sink volume: count survivors per batch
-        .count()
-    )
-    sec, state = drive(dedup, f"sb_dedup_{time.monotonic_ns()}", "complete")
-    results["dedup"] = {"sec": sec, "events_per_sec": round(n_rows / sec), "state": state}
+    if want("hourly_agg"):
+        agg = P.hourly_counts_transform(read_drop_stream(spark, drop))
+        sec, state = drive(agg, f"sb_hourly_{time.monotonic_ns()}", "complete")
+        results["hourly_agg"] = {"sec": sec, "events_per_sec": round(n_rows / sec), "state": state}
 
-    ut = P.user_totals_transform(read_drop_stream(spark, drop))
-    sec, state = drive_distributed_sink(ut, "update")
-    results["user_totals"] = {"sec": sec, "events_per_sec": round(n_rows / sec), "state": state}
+    if want("dedup"):
+        dedup = (
+            read_drop_stream(spark, drop)
+            .withWatermark("ts", P.WATERMARK)
+            .dropDuplicates(["event_id"])
+            .groupBy()  # reduce sink volume: count survivors per batch
+            .count()
+        )
+        sec, state = drive(dedup, f"sb_dedup_{time.monotonic_ns()}", "complete")
+        results["dedup"] = {"sec": sec, "events_per_sec": round(n_rows / sec), "state": state}
+
+    if want("user_totals"):
+        ut = P.user_totals_transform(read_drop_stream(spark, drop))
+        sec, state = drive_distributed_sink(ut, "update")
+        results["user_totals"] = {"sec": sec, "events_per_sec": round(n_rows / sec), "state": state}
 
     # landing-zone near-dup filter: documents replayed as a file drop
     # through the stream-static band join against the frozen MinHash
@@ -180,12 +189,13 @@ def run_all(
         minhash_index_dir,
     )
 
-    idx = minhash_index_dir(sf_dir)
-    if not os.path.exists(os.path.join(idx, "manifest.json")):
-        build_minhash_index(spark, sf_dir, idx)
-    ld = P.landing_dedup_transform(spark, sf_dir, read_drop_stream(spark, ddrop))
-    sec, state = drive_distributed_sink(ld, "append")
-    results["landing_dedup"] = {"sec": sec, "events_per_sec": round(n_docs / sec), "state": state}
+    if want("landing_dedup"):
+        idx = minhash_index_dir(sf_dir)
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            build_minhash_index(spark, sf_dir, idx)
+        ld = P.landing_dedup_transform(spark, sf_dir, read_drop_stream(spark, ddrop))
+        sec, state = drive_distributed_sink(ld, "append")
+        results["landing_dedup"] = {"sec": sec, "events_per_sec": round(n_docs / sec), "state": state}
 
     # landing-zone image / audio fingerprint filters (r10 queries, r11
     # stream-bench coverage): the same doc drop through the
@@ -207,6 +217,8 @@ def run_all(
         ("landing_phash", build_phash_index, phash_index_dir, landing_phash_transform),
         ("landing_wavhash", build_wavhash_index, wavhash_index_dir, landing_wavhash_transform),
     ):
+        if not want(nm):
+            continue
         fidx = dir_fn(sf_dir)
         if not os.path.exists(os.path.join(fidx, "manifest.json")):
             build_fn(spark, sf_dir, fidx)
@@ -222,40 +234,42 @@ def run_all(
         span_index_dir,
     )
 
-    sidx = span_index_dir(sf_dir)
-    if not os.path.exists(os.path.join(sidx, "manifest.json")):
-        build_span_index(spark, sf_dir, sidx)
-    sout = os.path.join(tempfile.gettempdir(), f"stream_bench_spans_{dkey}")
-    sckpt = sout + "_ckpt"
-    shutil.rmtree(sout, ignore_errors=True)
-    shutil.rmtree(sckpt, ignore_errors=True)
-    t0 = time.time()
-    P.run_incremental_span_filter(
-        spark, sf_dir, sout, sckpt, raw=read_drop_stream(spark, ddrop)
-    )
-    sec = time.time() - t0
-    # stateless foreachBatch pipelines report an explicit zero state
-    # summary (not a missing field) so downstream tooling needn't
-    # special-case stateless rows
     no_state = {"commit_ms": 0, "update_ms": 0, "peak_state_bytes": 0, "state_rows": 0}
-    results["landing_span"] = {
-        "sec": sec, "events_per_sec": round(n_docs / sec), "state": dict(no_state)
-    }
+    if want("landing_span"):
+        sidx = span_index_dir(sf_dir)
+        if not os.path.exists(os.path.join(sidx, "manifest.json")):
+            build_span_index(spark, sf_dir, sidx)
+        sout = os.path.join(tempfile.gettempdir(), f"stream_bench_spans_{dkey}")
+        sckpt = sout + "_ckpt"
+        shutil.rmtree(sout, ignore_errors=True)
+        shutil.rmtree(sckpt, ignore_errors=True)
+        t0 = time.time()
+        P.run_incremental_span_filter(
+            spark, sf_dir, sout, sckpt, raw=read_drop_stream(spark, ddrop)
+        )
+        sec = time.time() - t0
+        # stateless foreachBatch pipelines report an explicit zero state
+        # summary (not a missing field) so downstream tooling needn't
+        # special-case stateless rows
+        results["landing_span"] = {
+            "sec": sec, "events_per_sec": round(n_docs / sec), "state": dict(no_state)
+        }
 
     # landing-zone span REWRITE (r9): same doc drop, cleaned-docs
     # landing table (probe + per-doc token cut per trigger)
-    rout = os.path.join(tempfile.gettempdir(), f"stream_bench_rewrite_{dkey}")
-    rckpt = rout + "_ckpt"
-    shutil.rmtree(rout, ignore_errors=True)
-    shutil.rmtree(rckpt, ignore_errors=True)
-    t0 = time.time()
-    P.run_incremental_span_rewrite(
-        spark, sf_dir, rout, rckpt, raw=read_drop_stream(spark, ddrop)
-    )
-    sec = time.time() - t0
-    results["landing_rewrite"] = {
-        "sec": sec, "events_per_sec": round(n_docs / sec), "state": dict(no_state)
-    }
+    if want("landing_rewrite"):
+        rout = os.path.join(tempfile.gettempdir(), f"stream_bench_rewrite_{dkey}")
+        rckpt = rout + "_ckpt"
+        shutil.rmtree(rout, ignore_errors=True)
+        shutil.rmtree(rckpt, ignore_errors=True)
+        t0 = time.time()
+        P.run_incremental_span_rewrite(
+            spark, sf_dir, rout, rckpt, raw=read_drop_stream(spark, ddrop)
+        )
+        sec = time.time() - t0
+        results["landing_rewrite"] = {
+            "sec": sec, "events_per_sec": round(n_docs / sec), "state": dict(no_state)
+        }
     return results
 
 
@@ -273,7 +287,13 @@ def main() -> None:
         "HDFS-backed (the opt-out), or both back to back for comparison",
     )
     ap.add_argument("--out", default=None, help="output json path (default STREAM_BENCH.json)")
+    ap.add_argument(
+        "--pipelines", default=None,
+        help="comma-separated pipeline subset (focused big-SF probes); "
+        "default: all",
+    )
     args = ap.parse_args()
+    only = {p for p in (args.pipelines or "").split(",") if p} or None
 
     spark = get_session("stream-bench", cpus=args.cpus)
     drop, n_rows = stage_chunks(spark, args.sf_dir, args.chunks)
@@ -287,12 +307,15 @@ def main() -> None:
         # first pipeline that starts
         os.environ[P.STATE_STORE_ENV] = store
         P.apply_streaming_confs(spark)
-        by_store[store] = run_all(spark, args.sf_dir, args.chunks, drop, n_rows)
+        by_store[store] = run_all(spark, args.sf_dir, args.chunks, drop, n_rows, only=only)
 
     first = by_store[stores[0]]
+    # headline = hourly_agg when present (the historical metric), else
+    # the first selected pipeline (focused --pipelines probes)
+    head_name = "hourly_agg" if "hourly_agg" in first else next(iter(first))
     line = {
         "metric": "stream_events_per_sec",
-        "value": first["hourly_agg"]["events_per_sec"],
+        "value": first[head_name]["events_per_sec"],
         "unit": "rows/sec",
         "sf_dir": args.sf_dir,
         "n_events": n_rows,
